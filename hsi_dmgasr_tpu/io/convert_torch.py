@@ -1,0 +1,201 @@
+"""Torch checkpoint conversion (.pth -> flax param pytrees).
+
+The shipped GAE checkpoints are *whole-module pickles*
+(``torch.save(AE_model)``, reference AE.py:637) whose class references
+point at ``__main__.{GAE,Encoder,Decoder,BranchUnit,SSB,SSPN}`` and
+``common.{ResBlock,ResAttentionBlock,CALayer,Upsampler}``. We register
+skeleton ``nn.Module`` subclasses under those names — unpickling an
+nn.Module only restores instance ``__dict__``s, so no reference code
+executes — then read the live ``state_dict()``.
+
+Diffusion checkpoints (``I{step}_E{epoch}_gen.pth``) are plain
+state_dicts (model/model.py:125-145) and load directly.
+
+Layout conversion: torch conv weights are OIHW; flax/NHWC kernels are
+HWIO (transpose 2,3,1,0). Linear weights are (out,in) -> (in,out).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import types
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# unpickling support
+
+
+_MAIN_CLASSES = ("GAE", "Encoder", "Decoder", "BranchUnit", "SSB", "SSPN",
+                 "AE", "AE_duichen", "SR_encoder", "post_GAE", "Autoencoder",
+                 "Swish", "Codebook")
+_COMMON_CLASSES = ("ResBlock", "ResAttentionBlock", "CALayer", "Upsampler",
+                   "BasicBlock", "MeanShift", "GroupNorm", "Swish")
+
+
+_STUB_MODULES = {
+    "__main__": _MAIN_CLASSES,
+    "common": _COMMON_CLASSES,
+    "quantize": ("Quantization", "Conv2d_Q"),
+    "GELIN": ("GELIN", "SSELM", "NGIM", "HLoss"),
+}
+
+_stub_cache = {}
+
+
+def stub_class(module, name):
+    """An empty nn.Module subclass standing in for a reference class.
+
+    Unpickling an nn.Module only restores instance ``__dict__``s, so the
+    stub needs no methods; real torch layers (Conv2d, Sequential, ...)
+    inside the module tree resolve to actual torch classes.
+    """
+    import torch.nn as nn
+
+    key = (module, name)
+    if key not in _stub_cache:
+        _stub_cache[key] = type(name, (nn.Module,), {"__module__": module})
+    return _stub_cache[key]
+
+
+def _make_pickle_shim():
+    """A pickle-module shim whose Unpickler resolves reference-repo class
+    paths to stubs WITHOUT touching sys.modules or __main__ (a user's
+    own GAE/Encoder symbols must never be shadowed or used)."""
+    import pickle
+
+    class StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            known = _STUB_MODULES.get(module)
+            if known is not None and name in known:
+                return stub_class(module, name)
+            return super().find_class(module, name)
+
+    shim = types.ModuleType("hsi_dmgasr_tpu_stub_pickle")
+    shim.Unpickler = StubUnpickler
+    shim.load = pickle.load
+    shim.loads = pickle.loads
+    shim.dumps = pickle.dumps
+    shim.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
+    return shim
+
+
+def load_torch_module(path):
+    """Unpickle a whole-module .pth on CPU via stub classes."""
+    import torch
+
+    return torch.load(
+        path, map_location="cpu", weights_only=False,
+        pickle_module=_make_pickle_shim(),
+    )
+
+
+def load_state_dict(path):
+    """Load either a state_dict .pth or a whole-module .pth -> numpy dict."""
+    obj = load_torch_module(path)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in obj.items()}
+
+
+def gae_config_from_module(mod):
+    """Recover (n_subs, n_ovls, n_colors, n_feats, G) from a loaded GAE.
+
+    start_idx/end_idx are plain-python instance attrs restored by pickle
+    (AE.py:266-280); n_feats comes from the encoder head shape.
+    """
+    start = list(mod.start_idx)
+    end = list(mod.end_idx)
+    n_subs = end[0] - start[0]
+    n_ovls = n_subs - (start[1] - start[0]) if len(start) > 1 else 0
+    n_colors = end[-1]
+    head_w = mod.Encoder.branch.head.weight  # (n_feats, n_subs, 3, 3)
+    n_feats = head_w.shape[0]
+    return dict(
+        n_subs=n_subs, n_ovls=n_ovls, n_colors=n_colors,
+        n_feats=n_feats, G=len(start),
+        start_idx=start, end_idx=end,
+    )
+
+
+# ---------------------------------------------------------------------------
+# key translation
+
+
+_RULES = [
+    (re.compile(r"^Encoder\."), "encoder/"),
+    (re.compile(r"^Decoder\."), "decoder/"),
+    (re.compile(r"\bnet\.(\d+)\."), r"net_\1/"),
+    (re.compile(r"\bspa\.body\.0\."), "spa/conv0/"),
+    (re.compile(r"\bspa\.body\.2\."), "spa/conv1/"),
+    (re.compile(r"\bspc\.body\.0\."), "spc/conv0/"),
+    (re.compile(r"\bspc\.body\.2\."), "spc/conv1/"),
+    (re.compile(r"\bspc\.body\.3\.conv_du\.0\."), "spc/ca/conv_du0/"),
+    (re.compile(r"\bspc\.body\.3\.conv_du\.2\."), "spc/ca/conv_du1/"),
+    # bare CALayer (outside SSB), e.g. attn in DAQ blocks
+    (re.compile(r"\bconv_du\.0\."), "conv_du0/"),
+    (re.compile(r"\bconv_du\.2\."), "conv_du1/"),
+    # Upsampler Sequential: convs sit at even indices (conv, shuffle, ...)
+    (re.compile(r"\bupsample\.(\d+)\."),
+     lambda m: f"upsample/conv_{int(m.group(1)) // 2}/"),
+]
+
+
+def torch_key_to_flax_path(key):
+    """Translate one torch state_dict key into a flax param path tuple.
+
+    e.g. ``Encoder.branch.body.net.0.spa.body.0.weight`` ->
+    ``('encoder','branch','body','net_0','spa','conv0','kernel')``
+    """
+    k = key
+    for pat, rep in _RULES:
+        k = pat.sub(rep, k)
+    k = k.replace(".", "/")
+    parts = k.split("/")
+    if parts[-1] == "weight":
+        parts[-1] = "kernel"
+    return tuple(parts)
+
+
+def _nest(flat):
+    tree = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def state_dict_to_flax(sd, transpose_conv=True):
+    """Generic torch state_dict -> nested flax params.
+
+    Conv weights (4-D OIHW) become HWIO kernels; 2-D linear weights
+    become (in, out); 1-D tensors pass through.
+    """
+    flat = {}
+    for key, w in sd.items():
+        path = torch_key_to_flax_path(key)
+        arr = np.asarray(w)
+        if path[-1] == "kernel" and arr.ndim == 4 and transpose_conv:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif path[-1] == "kernel" and arr.ndim == 2:
+            arr = arr.T
+        flat[path] = arr
+    return _nest(flat)
+
+
+def load_torch_gae(path):
+    """Load a shipped GAE .pth -> (flax_params, config dict).
+
+    The returned params drop into ``models.gae.GAE`` with matching
+    (n_subs, n_ovls, n_colors, n_feats).
+    """
+    mod = load_torch_module(path)
+    cfg = gae_config_from_module(mod)
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in mod.state_dict().items()}
+    params = state_dict_to_flax(sd)
+    return {"params": params}, cfg
