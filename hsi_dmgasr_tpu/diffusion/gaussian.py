@@ -1,0 +1,231 @@
+"""Gaussian diffusion as pure functions + lax.scan sampler.
+
+TPU-native redesign of the reference GaussianDiffusion
+(sr3_modules/diffusion.py:64-253):
+
+  * Training (p_losses, diffusion.py:222-250): the continuous-γ trick is
+    preserved exactly — one shared t ~ U{1..T} per batch, then per-sample
+    γ ~ U[√ᾱ_{t-1}, √ᾱ_t]; the UNet is conditioned on γ itself.
+  * Sampling (p_sample_loop, diffusion.py:177-201): the reference runs a
+    Python loop with a host round-trip per step (CPU tensor creation at
+    diffusion.py:154-155 + tqdm). Here the entire reverse chain is ONE
+    lax.scan on device: schedule buffers are traced constants indexed by
+    the scan counter; zero host syncs for all T steps.
+  * Loss (model/model.py:49-59): reference computes
+    L1(reduction='sum')/(B*C*H*W) == plain mean; we use the mean.
+
+The denoise function signature is ``denoise_fn(x, noise_level) -> eps``
+where x already contains the conditioning concat if conditional.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """Bundles a denoise apply-fn with a schedule; stateless/pure."""
+
+    schedule: DiffusionSchedule
+    conditional: bool = True
+    loss_type: str = "l1"
+    clip_denoised: bool = True
+
+    # ---------------------------------------------------------------- q
+
+    def q_sample(self, x_start, continuous_sqrt_alpha_cumprod, noise):
+        """γ·x0 + √(1-γ²)·ε (diffusion.py:213-220); γ broadcasts over
+        trailing dims."""
+        g = continuous_sqrt_alpha_cumprod
+        return g * x_start + jnp.sqrt(1.0 - g ** 2) * noise
+
+    # ------------------------------------------------------------- train
+
+    def p_losses(self, denoise_fn, key, x_hr, x_sr=None, noise=None):
+        """Continuous-γ denoising loss (diffusion.py:222-250).
+
+        x_hr: (B, H, W, C) target; x_sr: conditioning (bicubic-up LR),
+        concatenated channel-wise before the UNet as in the reference
+        (cond first: torch.cat([SR, noisy], dim=1), diffusion.py:247).
+        """
+        sched = self.schedule
+        b = x_hr.shape[0]
+        k_t, k_g, k_n = jax.random.split(key, 3)
+        t = jax.random.randint(k_t, (), 1, sched.num_timesteps + 1)
+        sacp = jnp.asarray(sched.sqrt_alphas_cumprod_prev, jnp.float32)
+        lo = sacp[t - 1]
+        hi = sacp[t]
+        gamma = jax.random.uniform(k_g, (b,), jnp.float32, 0.0, 1.0) * (hi - lo) + lo
+        if noise is None:
+            noise = jax.random.normal(k_n, x_hr.shape, x_hr.dtype)
+        x_noisy = self.q_sample(x_hr, gamma[:, None, None, None], noise)
+        if self.conditional:
+            inp = jnp.concatenate([x_sr, x_noisy], axis=-1)
+        else:
+            inp = x_noisy
+        eps_pred = denoise_fn(inp, gamma[:, None])
+        err = noise - eps_pred
+        if self.loss_type == "l1":
+            return jnp.mean(jnp.abs(err))
+        if self.loss_type == "l2":
+            return jnp.mean(err ** 2)
+        raise NotImplementedError(self.loss_type)
+
+    # ------------------------------------------------------------ sample
+
+    def _step(self, denoise_fn, x, t, key, cond):
+        """One reverse step == reference p_sample (diffusion.py:142-175),
+        with every scalar gathered from traced buffers."""
+        sched = self.schedule
+        f32 = partial(jnp.asarray, dtype=jnp.float32)
+        sacp_prev = f32(sched.sqrt_alphas_cumprod_prev)
+        srac = f32(sched.sqrt_recip_alphas_cumprod)
+        sracm1 = f32(sched.sqrt_recipm1_alphas_cumprod)
+        c1 = f32(sched.posterior_mean_coef1)
+        c2 = f32(sched.posterior_mean_coef2)
+        plv = f32(sched.posterior_log_variance_clipped)
+
+        b = x.shape[0]
+        noise_level = jnp.full((b, 1), sacp_prev[t + 1], jnp.float32)
+        if cond is not None:
+            inp = jnp.concatenate([cond, x], axis=-1)
+        else:
+            inp = x
+        eps = denoise_fn(inp, noise_level)
+        x_recon = srac[t] * x - sracm1[t] * eps
+        if self.clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = c1[t] * x_recon + c2[t] * x
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        return mean + noise * jnp.exp(0.5 * plv[t])
+
+    def sample_loop(self, denoise_fn, key, shape=None, cond=None,
+                    return_intermediates=False):
+        """Full reverse chain as one lax.scan (vs diffusion.py:177-201).
+
+        conditional: cond is the bicubic-upsampled LR latent, shape sets
+        itself from cond. unconditional: pass shape.
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        if cond is not None:
+            shape = cond.shape
+        k_init, k_steps = jax.random.split(key)
+        x0 = jax.random.normal(k_init, shape, jnp.float32)
+        step_keys = jax.random.split(k_steps, T)
+        ts = jnp.arange(T - 1, -1, -1)
+
+        def body(x, inp):
+            t, k = inp
+            x = self._step(denoise_fn, x, t, k, cond)
+            return x, (x if return_intermediates else None)
+
+        x_fin, inter = jax.lax.scan(body, x0, (ts, step_keys))
+        if return_intermediates:
+            return x_fin, inter
+        return x_fin
+
+    def super_resolution(self, denoise_fn, key, cond,
+                         return_intermediates=False):
+        """Conditional sampling seeded from noise (diffusion.py:209-211)."""
+        return self.sample_loop(
+            denoise_fn, key, cond=cond, return_intermediates=return_intermediates
+        )
+
+    def sample(self, denoise_fn, key, batch_size, image_size, channels,
+               return_intermediates=False):
+        """Unconditional generation (diffusion.py:203-207), NHWC."""
+        return self.sample_loop(
+            denoise_fn, key,
+            shape=(batch_size, image_size, image_size, channels),
+            return_intermediates=return_intermediates,
+        )
+
+
+# ----------------------------------------------------------------------
+# discrete-t DDPM variant (model/ddpm_modules/diffusion.py)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMDiffusion(GaussianDiffusion):
+    """Discrete-timestep variant: t is fed to the UNet directly
+    (ddpm_modules/diffusion.py:64-67 extract + :278-294 p_losses)."""
+
+    def p_losses(self, denoise_fn, key, x_hr, x_sr=None, noise=None):
+        sched = self.schedule
+        b = x_hr.shape[0]
+        k_t, k_n = jax.random.split(key)
+        t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
+        sac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+        som = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(k_n, x_hr.shape, x_hr.dtype)
+        x_noisy = (
+            sac[t][:, None, None, None] * x_hr
+            + som[t][:, None, None, None] * noise
+        )
+        inp = (
+            jnp.concatenate([x_sr, x_noisy], axis=-1)
+            if self.conditional else x_noisy
+        )
+        eps_pred = denoise_fn(inp, t)
+        err = noise - eps_pred
+        if self.loss_type == "l1":
+            return jnp.mean(jnp.abs(err))
+        if self.loss_type == "l2":
+            return jnp.mean(err ** 2)
+        raise NotImplementedError(self.loss_type)
+
+    def _step(self, denoise_fn, x, t, key, cond):
+        sched = self.schedule
+        f32 = partial(jnp.asarray, dtype=jnp.float32)
+        srac = f32(sched.sqrt_recip_alphas_cumprod)
+        sracm1 = f32(sched.sqrt_recipm1_alphas_cumprod)
+        c1 = f32(sched.posterior_mean_coef1)
+        c2 = f32(sched.posterior_mean_coef2)
+        plv = f32(sched.posterior_log_variance_clipped)
+
+        b = x.shape[0]
+        tb = jnp.full((b,), t, jnp.int32)
+        inp = jnp.concatenate([cond, x], axis=-1) if cond is not None else x
+        eps = denoise_fn(inp, tb)
+        x_recon = srac[t] * x - sracm1[t] * eps
+        if self.clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = c1[t] * x_recon + c2[t] * x
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        return mean + noise * jnp.exp(0.5 * plv[t])
+
+    def interpolate(self, denoise_fn, key, x1, x2, t=None, lam=0.5):
+        """Latent interpolation (ddpm_modules/diffusion.py:242-257)."""
+        sched = self.schedule
+        T = sched.num_timesteps
+        t = T - 1 if t is None else t
+        k_q1, k_q2, k_steps = jax.random.split(key, 3)
+        sac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+        som = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
+
+        def q_at(x, k):
+            n = jax.random.normal(k, x.shape, x.dtype)
+            return sac[t] * x + som[t] * n
+
+        img = (1 - lam) * q_at(x1, k_q1) + lam * q_at(x2, k_q2)
+        step_keys = jax.random.split(k_steps, t)
+        ts = jnp.arange(t - 1, -1, -1)
+
+        def body(x, inp):
+            ti, k = inp
+            return self._step(denoise_fn, x, ti, k, None), None
+
+        img, _ = jax.lax.scan(body, img, (ts, step_keys))
+        return img

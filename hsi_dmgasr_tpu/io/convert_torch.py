@@ -127,6 +127,20 @@ def gae_config_from_module(mod):
 _RULES = [
     (re.compile(r"^Encoder\."), "encoder/"),
     (re.compile(r"^Decoder\."), "decoder/"),
+    # --- SR3/DDPM UNet (model/sr3_modules/unet.py, model/ddpm_modules/unet.py)
+    (re.compile(r"^denoise_fn\."), ""),  # GaussianDiffusion wrapper prefix
+    (re.compile(r"^(noise_level_mlp|time_mlp)\.1\."), "noise_mlp_lin0/"),
+    (re.compile(r"^(noise_level_mlp|time_mlp)\.3\."), "noise_mlp_lin1/"),
+    (re.compile(r"^downs\.(\d+)\.conv\."), r"downs_\1_conv/"),  # Downsample
+    (re.compile(r"^ups\.(\d+)\.conv\."), r"ups_\1_conv/"),  # Upsample
+    (re.compile(r"^downs\.(\d+)\."), r"downs_\1/"),
+    (re.compile(r"^ups\.(\d+)\."), r"ups_\1/"),
+    (re.compile(r"^mid\.(\d+)\."), r"mid_\1/"),
+    (re.compile(r"\bnoise_func\.noise_func\.0\."), "noise_func/func/"),
+    (re.compile(r"\bmlp\.1\."), "noise_func/func/"),  # ddpm time-emb head
+    (re.compile(r"\b(block1|block2|final_conv)\.block\.0\."), r"\1/norm/gn/"),
+    (re.compile(r"\b(block1|block2|final_conv)\.block\.3\."), r"\1/conv/"),
+    (re.compile(r"\battn\.norm\."), "attn/norm/gn/"),
     (re.compile(r"\bnet\.(\d+)\."), r"net_\1/"),
     (re.compile(r"\bspa\.body\.0\."), "spa/conv0/"),
     (re.compile(r"\bspa\.body\.2\."), "spa/conv1/"),
@@ -170,21 +184,37 @@ def _nest(flat):
 
 
 def state_dict_to_flax(sd, transpose_conv=True):
-    """Generic torch state_dict -> nested flax params.
+    """Generic torch state_dict -> flax variable collections.
 
     Conv weights (4-D OIHW) become HWIO kernels; 2-D linear weights
-    become (in, out); 1-D tensors pass through.
+    become (in, out); 1-D 'weight's on norm layers become 'scale'.
+    BatchNorm running stats land in the 'batch_stats' collection.
+    Returns {'params': tree[, 'batch_stats': tree]}.
     """
-    flat = {}
+    has_bn = any(k.endswith("running_mean") for k in sd)
+    flat_params, flat_stats = {}, {}
     for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
         path = torch_key_to_flax_path(key)
+        if has_bn:
+            path = tuple("bn" if p == "gn" else p for p in path)
         arr = np.asarray(w)
         if path[-1] == "kernel" and arr.ndim == 4 and transpose_conv:
             arr = arr.transpose(2, 3, 1, 0)
         elif path[-1] == "kernel" and arr.ndim == 2:
             arr = arr.T
-        flat[path] = arr
-    return _nest(flat)
+        elif path[-1] == "kernel" and arr.ndim == 1:
+            path = path[:-1] + ("scale",)
+        if path[-1] in ("running_mean", "running_var"):
+            stat = "mean" if path[-1] == "running_mean" else "var"
+            flat_stats[path[:-1] + (stat,)] = arr
+        else:
+            flat_params[path] = arr
+    out = {"params": _nest(flat_params)}
+    if flat_stats:
+        out["batch_stats"] = _nest(flat_stats)
+    return out
 
 
 def load_torch_gae(path):
@@ -197,5 +227,4 @@ def load_torch_gae(path):
     cfg = gae_config_from_module(mod)
     sd = {k: np.asarray(v.detach().cpu().numpy())
           for k, v in mod.state_dict().items()}
-    params = state_dict_to_flax(sd)
-    return {"params": params}, cfg
+    return state_dict_to_flax(sd), cfg

@@ -1,0 +1,289 @@
+"""SR3/DDPM denoising UNet (Flax, NHWC).
+
+One module covers both reference variants, selected by flags
+(model/networks.py:85-88 picks per config ``which_model_G``):
+
+  * ``time_embedding='continuous'`` — SR3: a WaveGrad-style positional
+    encoding of the continuous noise level γ (sr3_modules/unet.py:18-31),
+    injected per-resblock by FeatureWiseAffine (34-50).
+  * ``time_embedding='discrete'`` — DDPM: sinusoidal embedding of the
+    integer timestep (ddpm_modules/unet.py:19-34), injected additively
+    after a Swish+Linear head (85-95).
+  * ``norm='group'|'batch'`` — sr3 uses GroupNorm(32); the ddpm variant
+    swaps in BatchNorm (ddpm_modules/unet.py:64-77).
+
+Architecture parity (sr3_modules/unet.py:162-263): the skip stack
+receives the output of EVERY down layer (initial conv, each resblock,
+each downsample); each up level consumes res_blocks+1 skips.
+
+Self-attention (sr3_modules/unet.py:114-143) is computed over flattened
+H*W tokens with a fused softmax(QK^T/sqrt(C))V — no materialized
+(H,W,H,W) tensor — and dispatches to the Pallas flash kernel for large
+token counts (kernels/attention.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.blocks import Conv2d, Dense
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def continuous_noise_encoding(noise_level, dim):
+    """WaveGrad positional encoding of γ (sr3_modules/unet.py:18-31).
+
+    noise_level: (B, 1) -> (B, dim) as [sin(γ·e^-k), cos(γ·e^-k)].
+    """
+    count = dim // 2
+    step = jnp.arange(count, dtype=noise_level.dtype) / count
+    enc = noise_level * jnp.exp(-math.log(1e4) * step)[None, :]
+    return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+
+
+def discrete_time_encoding(t, dim):
+    """Sinusoidal embedding of integer t (ddpm_modules/unet.py:19-34)."""
+    inv_freq = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    sin_in = t.reshape(-1).astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.concatenate([jnp.sin(sin_in), jnp.cos(sin_in)], axis=-1)
+
+
+class Norm(nn.Module):
+    """GroupNorm(32) or BatchNorm switch, torch-compatible params."""
+
+    channels: int
+    norm: str = "group"
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if self.norm == "group":
+            return nn.GroupNorm(
+                num_groups=self.norm_groups, epsilon=1e-5, name="gn"
+            )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+
+
+class Block(nn.Module):
+    """norm -> swish -> dropout -> 3x3 conv (sr3_modules/unet.py:80-91)."""
+
+    dim_out: int
+    norm_groups: int = 32
+    dropout: float = 0.0
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = Norm(x.shape[-1], self.norm, self.norm_groups, name="norm")(x, train)
+        x = swish(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return Conv2d(self.dim_out, 3, name="conv")(x)
+
+
+class NoiseInjection(nn.Module):
+    """Time/noise-level conditioning of a resblock.
+
+    continuous (SR3 FeatureWiseAffine, sr3_modules/unet.py:34-50):
+      x + Linear(emb)  (or affine (1+γ)x+β with use_affine_level)
+    discrete (ddpm ResnetBlock.mlp, ddpm_modules/unet.py:82-95):
+      x + Linear(swish(emb))
+    """
+
+    dim_out: int
+    use_affine_level: bool = False
+    discrete: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        if self.discrete:
+            h = Dense(self.dim_out, name="func")(swish(emb))
+            return x + h[:, None, None, :]
+        if self.use_affine_level:
+            h = Dense(self.dim_out * 2, name="func")(emb)
+            gamma, beta = jnp.split(h[:, None, None, :], 2, axis=-1)
+            return (1 + gamma) * x + beta
+        h = Dense(self.dim_out, name="func")(emb)
+        return x + h[:, None, None, :]
+
+
+class ResnetBlock(nn.Module):
+    """block1 -> noise injection -> block2 -> +res_conv(x)
+    (sr3_modules/unet.py:94-111)."""
+
+    dim_out: int
+    norm_groups: int = 32
+    dropout: float = 0.0
+    use_affine_level: bool = False
+    norm: str = "group"
+    discrete: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb, train=False):
+        h = Block(self.dim_out, self.norm_groups, norm=self.norm, name="block1")(x, train)
+        if emb is not None:
+            h = NoiseInjection(
+                self.dim_out, self.use_affine_level, self.discrete, name="noise_func"
+            )(h, emb)
+        h = Block(
+            self.dim_out, self.norm_groups, self.dropout, self.norm, name="block2"
+        )(h, train)
+        if x.shape[-1] != self.dim_out:
+            x = Conv2d(self.dim_out, 1, name="res_conv")(x)
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """Full-spatial single/multi-head attention (sr3_modules/unet.py:114-143).
+
+    The reference materializes a (B, heads, H, W, H, W) tensor; here QK^T
+    runs over flattened tokens with softmax fused by XLA (or the Pallas
+    flash kernel via kernels.attention for long sequences). Scale is
+    1/sqrt(C) over the FULL channel count, as in the reference.
+    """
+
+    channels: int
+    n_head: int = 1
+    norm_groups: int = 32
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b, h, w, c = x.shape
+        head_dim = c // self.n_head
+        y = Norm(c, self.norm, self.norm_groups, name="norm")(x, train)
+        qkv = Conv2d(c * 3, 1, use_bias=False, name="qkv")(y)
+        qkv = qkv.reshape(b, h * w, self.n_head, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        from ..kernels.attention import spatial_attention
+
+        out = spatial_attention(q, k, v, scale=1.0 / math.sqrt(c))
+        out = out.reshape(b, h, w, c)
+        out = Conv2d(c, 1, name="out")(out)
+        return out + x
+
+
+class ResnetBlocWithAttn(nn.Module):
+    dim_out: int
+    norm_groups: int = 32
+    dropout: float = 0.0
+    with_attn: bool = False
+    norm: str = "group"
+    discrete: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb, train=False):
+        x = ResnetBlock(
+            self.dim_out, self.norm_groups, self.dropout,
+            norm=self.norm, discrete=self.discrete, name="res_block",
+        )(x, emb, train)
+        if self.with_attn:
+            x = SelfAttention(
+                self.dim_out, norm_groups=self.norm_groups, norm=self.norm,
+                name="attn",
+            )(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    """The SR3/DDPM UNet (sr3_modules/unet.py:162-263 topology)."""
+
+    in_channel: int = 6
+    out_channel: int = 3
+    inner_channel: int = 32
+    norm_groups: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 8)
+    attn_res: Sequence[int] = (8,)
+    res_blocks: int = 3
+    dropout: float = 0.0
+    with_noise_level_emb: bool = True
+    image_size: int = 128
+    time_embedding: str = "continuous"  # 'continuous' (sr3) | 'discrete' (ddpm)
+    norm: str = "group"  # 'group' (sr3) | 'batch' (ddpm)
+
+    @nn.compact
+    def __call__(self, x, time, train=False):
+        discrete = self.time_embedding == "discrete"
+        if self.with_noise_level_emb:
+            if discrete:
+                emb = discrete_time_encoding(time, self.inner_channel)
+            else:
+                emb = continuous_noise_encoding(time, self.inner_channel)
+            emb = Dense(self.inner_channel * 4, name="noise_mlp_lin0")(emb)
+            emb = swish(emb)
+            emb = Dense(self.inner_channel, name="noise_mlp_lin1")(emb)
+        else:
+            emb = None
+
+        num_mults = len(self.channel_mults)
+        now_res = self.image_size
+        feats = []
+
+        # --- down path: initial conv + res blocks + downsamples, every
+        # layer output pushed onto the skip stack (unet.py:196-211)
+        h = Conv2d(self.inner_channel, 3, name="downs_0")(x)
+        feats.append(h)
+        li = 1
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            use_attn = now_res in self.attn_res
+            ch = self.inner_channel * self.channel_mults[ind]
+            for _ in range(self.res_blocks):
+                h = ResnetBlocWithAttn(
+                    ch, self.norm_groups, self.dropout, use_attn,
+                    self.norm, discrete, name=f"downs_{li}",
+                )(h, emb, train)
+                feats.append(h)
+                li += 1
+            if not is_last:
+                h = Conv2d(h.shape[-1], 3, stride=2, name=f"downs_{li}_conv")(h)
+                feats.append(h)
+                li += 1
+                now_res //= 2
+
+        # --- mid (unet.py:213-218)
+        h = ResnetBlocWithAttn(
+            h.shape[-1], self.norm_groups, self.dropout, True,
+            self.norm, discrete, name="mid_0",
+        )(h, emb, train)
+        h = ResnetBlocWithAttn(
+            h.shape[-1], self.norm_groups, self.dropout, False,
+            self.norm, discrete, name="mid_1",
+        )(h, emb, train)
+
+        # --- up path with skip concat (unet.py:220-234, 257-261)
+        li = 0
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            use_attn = now_res in self.attn_res
+            ch = self.inner_channel * self.channel_mults[ind]
+            for _ in range(self.res_blocks + 1):
+                h = jnp.concatenate([h, feats.pop()], axis=-1)
+                h = ResnetBlocWithAttn(
+                    ch, self.norm_groups, self.dropout, use_attn,
+                    self.norm, discrete, name=f"ups_{li}",
+                )(h, emb, train)
+                li += 1
+            if not is_last:
+                b, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
+                h = Conv2d(cc, 3, name=f"ups_{li}_conv")(h)
+                li += 1
+                now_res *= 2
+
+        return Block(
+            self.out_channel, self.norm_groups, norm=self.norm, name="final_conv"
+        )(h, train)

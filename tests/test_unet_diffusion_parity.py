@@ -1,0 +1,150 @@
+"""UNet + diffusion parity vs torch reference goldens."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsi_dmgasr_tpu.diffusion import DiffusionSchedule, GaussianDiffusion, make_beta_schedule
+from hsi_dmgasr_tpu.io.convert_torch import state_dict_to_flax
+from hsi_dmgasr_tpu.models.unet import UNet
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "unet_diffusion_golden.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden fixtures not generated")
+    return np.load(GOLDEN)
+
+
+def _sd(golden, prefix):
+    return {
+        k.split("::", 1)[1]: golden[k]
+        for k in golden.files
+        if k.startswith(prefix + "::")
+    }
+
+
+@pytest.mark.parametrize(
+    "sched", ["quad", "linear", "warmup10", "warmup50", "const", "jsd", "cosine"]
+)
+def test_beta_schedules(golden, sched):
+    mine = make_beta_schedule(sched, 20, 1e-6, 1e-2)
+    np.testing.assert_allclose(mine, golden[f"betas_{sched}"], rtol=1e-10)
+
+
+def test_schedule_buffers(golden):
+    s = DiffusionSchedule.create("cosine", 20, 1e-6, 1e-2)
+    np.testing.assert_allclose(
+        s.sqrt_alphas_cumprod_prev, golden["buf_sqrt_alphas_cumprod_prev"], rtol=1e-10
+    )
+    for name in ["betas", "alphas_cumprod", "sqrt_recip_alphas_cumprod",
+                 "sqrt_recipm1_alphas_cumprod", "posterior_log_variance_clipped",
+                 "posterior_mean_coef1", "posterior_mean_coef2"]:
+        np.testing.assert_allclose(
+            getattr(s, name).astype(np.float32), golden[f"buf_{name}"], rtol=2e-5,
+            err_msg=name,
+        )
+
+
+def _small_unet(time_embedding="continuous", norm="group"):
+    return UNet(
+        in_channel=6, out_channel=3, inner_channel=16, norm_groups=8,
+        channel_mults=(1, 2), attn_res=(8,), res_blocks=1, dropout=0.0,
+        image_size=16, time_embedding=time_embedding, norm=norm,
+    )
+
+
+def test_sr3_unet_forward_parity(golden):
+    net = _small_unet()
+    variables = state_dict_to_flax(_sd(golden, "sr3_sd"))
+    x = np.moveaxis(golden["sr3_x"], 1, -1)
+    y = net.apply(variables, x, golden["sr3_gamma"])
+    y_nchw = np.moveaxis(np.asarray(y), -1, 1)
+    np.testing.assert_allclose(y_nchw, golden["sr3_y"], atol=2e-5, rtol=1e-4)
+
+
+def test_ddpm_unet_forward_parity(golden):
+    net = _small_unet(time_embedding="discrete", norm="batch")
+    variables = state_dict_to_flax(_sd(golden, "ddpm_sd"))
+    x = np.moveaxis(golden["ddpm_x"], 1, -1)
+    y = net.apply(variables, x, golden["ddpm_t"])
+    y_nchw = np.moveaxis(np.asarray(y), -1, 1)
+    np.testing.assert_allclose(y_nchw, golden["ddpm_y"], atol=2e-5, rtol=1e-4)
+
+
+def test_q_sample_parity(golden):
+    s = DiffusionSchedule.create("cosine", 20, 1e-6, 1e-2)
+    gd = GaussianDiffusion(schedule=s)
+    x = np.moveaxis(golden["pmv_x"], 1, -1)
+    noise = np.moveaxis(golden["qs_noise"], 1, -1)
+    out = gd.q_sample(x, jnp.float32(golden["qs_gamma"][0]), noise)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out), -1, 1), golden["qs_out"], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("t", [0, 7, 19])
+def test_p_mean_variance_parity(golden, t):
+    """One reverse-step posterior (mean, logvar) must match the torch
+    reference p_mean_variance for the same UNet weights and inputs."""
+    net = _small_unet()
+    variables = state_dict_to_flax(_sd(golden, "sr3_sd"))
+    s = DiffusionSchedule.create("cosine", 20, 1e-6, 1e-2)
+    gd = GaussianDiffusion(schedule=s, clip_denoised=True)
+
+    x = np.moveaxis(golden["pmv_x"], 1, -1)
+    cond = np.moveaxis(golden["pmv_cond"], 1, -1)
+
+    def denoise_fn(inp, noise_level):
+        return net.apply(variables, inp, noise_level)
+
+    # replicate _step deterministically (mean only): use zero noise by
+    # computing the posterior pieces directly
+    sacp_prev = jnp.asarray(s.sqrt_alphas_cumprod_prev, jnp.float32)
+    noise_level = jnp.full((x.shape[0], 1), sacp_prev[t + 1])
+    eps = denoise_fn(jnp.concatenate([cond, x], axis=-1), noise_level)
+    x_recon = (
+        jnp.float32(s.sqrt_recip_alphas_cumprod[t]) * x
+        - jnp.float32(s.sqrt_recipm1_alphas_cumprod[t]) * eps
+    )
+    x_recon = jnp.clip(x_recon, -1.0, 1.0)
+    mean = (
+        jnp.float32(s.posterior_mean_coef1[t]) * x_recon
+        + jnp.float32(s.posterior_mean_coef2[t]) * x
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(mean), -1, 1), golden[f"pmv_mean_{t}"],
+        atol=3e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.float32(s.posterior_log_variance_clipped[t]),
+        golden[f"pmv_logvar_{t}"], rtol=1e-5,
+    )
+
+
+def test_sample_loop_runs_and_is_deterministic():
+    """Full scan sampler: shape, dtype, determinism under fixed key."""
+    net = _small_unet()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 16, 6))
+    variables = net.init(rng, x, jnp.zeros((1, 1)))
+    s = DiffusionSchedule.create("cosine", 5, 1e-6, 1e-2)
+    gd = GaussianDiffusion(schedule=s)
+
+    def denoise_fn(inp, nl):
+        return net.apply(variables, inp, nl)
+
+    cond = jnp.zeros((1, 16, 16, 3))
+    out1 = gd.super_resolution(denoise_fn, jax.random.PRNGKey(42), cond)
+    out2 = gd.super_resolution(denoise_fn, jax.random.PRNGKey(42), cond)
+    assert out1.shape == (1, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = gd.super_resolution(denoise_fn, jax.random.PRNGKey(43), cond)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
