@@ -1,0 +1,68 @@
+"""Stage-1 GAE training entry point (reference AE.py:516-637 __main__).
+
+Usage:
+  python -m hsi_dmgasr_tpu.cli.ae --data /path/to/pairs --epochs 5 \
+      --n_subs 16 --n_ovls 4 --n_colors 102 --out ./weight/gae_pav
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+
+from ..data import DataLoader, HSTrainingData, TrainsetFromFolder
+from ..train.stage1_gae import GAETrainer
+
+logger = logging.getLogger("base")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help=".mat pair dir or scene dir")
+    p.add_argument("--datatype", choices=["mat_pairs", "hsi_mat"],
+                   default="mat_pairs")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n_subs", type=int, default=16)
+    p.add_argument("--n_ovls", type=int, default=4)
+    p.add_argument("--n_colors", type=int, default=102)
+    p.add_argument("--n_feats", type=int, default=64)
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--out", default="./weight/gae")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    if args.datatype == "mat_pairs":
+        ds = TrainsetFromFolder(args.data, scale=args.scale)
+    else:
+        ds = HSTrainingData(args.data, n_scale=args.scale, augment=True)
+    loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                        seed=args.seed)
+
+    trainer = GAETrainer(
+        n_subs=args.n_subs, n_ovls=args.n_ovls, n_colors=args.n_colors,
+        n_feats=args.n_feats, lr=args.lr, seed=args.seed,
+    )
+    step = 0
+    for epoch in range(args.epochs):
+        for batch in loader:
+            hr = batch["HR"] if isinstance(batch, dict) else batch[1]
+            loss = trainer.train_step(np.asarray(hr))
+            step += 1
+            if step % 10 == 0:
+                logger.info("epoch %d step %d loss %.5f", epoch, step, float(loss))
+            if args.max_steps and step >= args.max_steps:
+                break
+        trainer.save(args.out)
+        logger.info("saved %s after epoch %d", args.out, epoch)
+        if args.max_steps and step >= args.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Shared CLI argument handling (reference sr_gae.py:128-146 flags)."""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import config as config_mod
+
+
+def base_parser(default_config, default_phase="train"):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", type=str, default=default_config)
+    p.add_argument("-p", "--phase", type=str,
+                   choices=["train", "val"], default=default_phase)
+    p.add_argument("-gpu", "--gpu_ids", type=str, default=None)
+    p.add_argument("-debug", "-d", action="store_true")
+    p.add_argument("-enable_wandb", action="store_true")
+    p.add_argument("-log_wandb_ckpt", action="store_true")
+    p.add_argument("-log_eval", action="store_true")
+    p.add_argument("-log_infer", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def parse_opt(args):
+    return config_mod.parse(
+        args.config,
+        phase=args.phase,
+        device_ids=args.gpu_ids,
+        debug=args.debug,
+        enable_wandb=args.enable_wandb,
+        log_wandb_ckpt=getattr(args, "log_wandb_ckpt", False),
+        log_eval=getattr(args, "log_eval", False),
+        log_infer=getattr(args, "log_infer", False),
+    )

@@ -1,0 +1,49 @@
+"""SR3 inference-only entry (reference infer.py:60-101): run conditional
+super-resolution over the val split and save result grids."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..config import setup_logger
+from ..data import create_dataloader, create_dataset
+from ..evalhsi.image_io import save_img, tensor2img
+from ..train.ddpm_model import DDPMModel
+from .common import base_parser, parse_opt
+
+logger = logging.getLogger("base")
+
+
+def main(argv=None):
+    args = base_parser("configs/sr_sr3_16_128.json", "val").parse_args(argv)
+    opt = parse_opt(args)
+    setup_logger("base", opt["path"]["log"], "infer", screen=True)
+
+    model = DDPMModel(opt, seed=args.seed)
+    val_set = create_dataset(opt["datasets"]["val"], "val")
+    loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
+    result_path = opt["path"]["results"]
+    os.makedirs(result_path, exist_ok=True)
+
+    for idx, batch in enumerate(loader):
+        sr = model.super_resolution(batch["SR"])
+        save_img(
+            tensor2img(np.asarray(sr), min_max=(-1, 1)),
+            f"{result_path}/{idx}_sr.png",
+        )
+        save_img(
+            tensor2img(batch["HR"], min_max=(-1, 1)),
+            f"{result_path}/{idx}_hr.png",
+        )
+        save_img(
+            tensor2img(batch["SR"], min_max=(-1, 1)),
+            f"{result_path}/{idx}_inf.png",
+        )
+        logger.info("wrote %s/%d_*.png", result_path, idx)
+
+
+if __name__ == "__main__":
+    main()

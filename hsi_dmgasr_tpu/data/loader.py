@@ -1,0 +1,82 @@
+"""Lightweight batched data loader (torch DataLoader equivalent).
+
+Index-based datasets (__len__/__getitem__) are batched into stacked
+numpy dicts/tuples with optional shuffling and a background prefetch
+thread — the host-side producer feeding jitted device steps. Replaces
+the reference's torch DataLoader usage (data/__init__.py:7-22) without
+the fork-based worker machinery; for HSI-scale items the degradation is
+numpy-vectorized and a single prefetch thread keeps the device fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+def _collate(items):
+    first = items[0]
+    if isinstance(first, dict):
+        return {
+            k: (
+                np.stack([it[k] for it in items])
+                if isinstance(first[k], np.ndarray)
+                else np.asarray([it[k] for it in items])
+            )
+            for k in first
+        }
+    if isinstance(first, (tuple, list)):
+        return tuple(np.stack([it[i] for it in items]) for i in range(len(first)))
+    return np.stack(items)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
+                 seed=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        bs = self.batch_size
+        end = (len(idx) // bs) * bs if self.drop_last else len(idx)
+        for i in range(0, end, bs):
+            yield idx[i:i + bs]
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for batch_idx in self._index_batches():
+                yield _collate([self.dataset[int(i)] for i in batch_idx])
+            return
+
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch_idx in self._index_batches():
+                    q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -113,7 +113,12 @@ class GAE(nn.Module):
     def encode(self, x):
         """(B, H, W, C) -> (B, G, H, W, latent). One batched encoder pass
         replaces the reference's per-group loop (AE.py:310-324)."""
-        b, h, w, _ = x.shape
+        b, h, w, c = x.shape
+        if c != self.n_colors:
+            raise ValueError(
+                f"GAE configured for {self.n_colors} bands, got cube with {c}"
+                " (channels-last expected)"
+            )
         # gather band groups: (B, H, W, G, n_subs)
         xg = jnp.take(x, jnp.asarray(self.idx.reshape(-1)), axis=-1)
         xg = xg.reshape(b, h, w, self.G, self.n_subs)

@@ -1,0 +1,271 @@
+"""DDPM lifecycle wrapper — the reference ``DDPM(BaseModel)`` rebuilt
+around jitted pure functions (model/model.py:12-202).
+
+API parity:
+  * train_step(batch, key)      ~ feed_data + optimize_parameters
+                                  (loss = sum/(B*C*H*W) == mean,
+                                   model/model.py:49-59)
+  * super_resolution / sample   ~ test()/sample() with the VAL noise
+                                  schedule (schedule swap of
+                                  model/model.py:87-94 is implicit:
+                                  both schedules live side by side)
+  * save/load_checkpoint        ~ save_network/load_network
+                                  (orbax instead of .pth pairs)
+  * load_torch_resume           ~ the channel-adapting torch loader that
+                                  drops the first/last conv so a 3-ch
+                                  face pretrain can seed an HSI model
+                                  (model/model.py:177-202)
+  * finetune_norm               ~ model/model.py:26-35 (masks updates to
+                                  params whose path contains
+                                  'transformer'; note the reference UNet
+                                  has none, so this trains nothing — kept
+                                  for config compatibility)
+
+TPU specifics: params replicated over a data mesh, batches sharded on
+axis 0; XLA inserts the gradient all-reduce (no DataParallel/DDP).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.networks import define_G, diffusion_for_phase, init_weights
+from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from .state import TrainState, create_train_state
+
+
+class DDPMModel:
+    def __init__(self, opt, mesh=None, seed=0, example_shape=None):
+        self.opt = opt
+        self.unet, self.train_diffusion = define_G(opt)
+        self.val_diffusion = diffusion_for_phase(opt, "val")
+        self.is_batchnorm = self.unet.norm == "batch"
+        self.discrete = self.unet.time_embedding == "discrete"
+
+        image_size = opt["model"]["diffusion"]["image_size"]
+        channels = opt["model"]["diffusion"]["channels"]
+        self.channels = channels
+        self.image_size = image_size
+        if example_shape is None:
+            example_shape = (1, image_size, image_size,
+                             self.unet.in_channel)
+
+        key = jax.random.PRNGKey(seed)
+        k_init, k_reinit, self._key = jax.random.split(key, 3)
+        t0 = (jnp.zeros((example_shape[0],), jnp.int32) if self.discrete
+              else jnp.zeros((example_shape[0], 1)))
+        variables = self.unet.init(k_init, jnp.zeros(example_shape), t0)
+        variables = dict(variables)
+        # reference initializes netG orthogonally (model/networks.py:110-112)
+        variables["params"] = init_weights(
+            variables["params"], k_reinit, init_type="orthogonal"
+        )
+
+        lr = (opt.get("train") or {}).get("optimizer", {}).get("lr", 1e-4)
+        tx = optax.adam(lr)
+        if (opt["model"] or {}).get("finetune_norm"):
+            def mask_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda p, _: any("transformer" in str(k) for k in p), params
+                )
+            tx = optax.chain(optax.masked(tx, mask_fn))
+        self.tx = tx
+
+        ema_opt = (opt.get("train") or {}).get("ema_scheduler")
+        self.ema_decay = ema_opt["ema_decay"] if ema_opt else None
+        self.state = create_train_state(variables, tx, use_ema=bool(ema_opt))
+
+        if mesh is None:
+            # config parity: gpu_ids length == requested device count
+            # (core/logger.py:48-59); capped at the available devices.
+            n_dev = opt.get("n_devices") or len(opt.get("gpu_ids") or [0])
+            mesh = data_parallel_mesh(min(n_dev, jax.device_count()))
+        self.mesh = mesh
+        self.state = replicate(self.mesh, self.state)
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._sample_cache = {}
+        self.begin_step = 0
+        self.begin_epoch = 0
+        self.log_dict = {}
+
+        resume = (opt.get("path") or {}).get("resume_state")
+        if resume:
+            self.load_resume(resume)
+
+    # ------------------------------------------------------------ train
+
+    def _denoise_apply(self, params, batch_stats, x, t, train, rngs=None):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if train and self.is_batchnorm:
+            out, upd = self.unet.apply(
+                variables, x, t, train=True,
+                mutable=["batch_stats"], rngs=rngs,
+            )
+            return out, upd["batch_stats"]
+        out = self.unet.apply(variables, x, t, train=train, rngs=rngs)
+        return out, batch_stats
+
+    def _train_step_impl(self, state, batch, key):
+        k_diff, k_drop = jax.random.split(key)
+
+        def loss_fn(params):
+            stats = {"out": None}
+
+            def denoise_fn(x, t):
+                out, new_stats = self._denoise_apply(
+                    params, state.batch_stats, x, t, train=True,
+                    rngs={"dropout": k_drop},
+                )
+                stats["out"] = new_stats
+                return out
+
+            loss = self.train_diffusion.p_losses(
+                denoise_fn, k_diff, batch["HR"], batch.get("SR")
+            )
+            return loss, stats["out"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(
+            self.tx, grads, new_batch_stats=new_stats, ema_decay=self.ema_decay
+        )
+        return state, loss
+
+    def train_step(self, batch, key=None):
+        """One optimizer step on a latent batch {'HR','SR'} (NHWC)."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        batch = shard_batch(self.mesh, batch)
+        self.state, loss = self._train_step(self.state, batch, key)
+        self.log_dict["l_pix"] = loss
+        return loss
+
+    # ----------------------------------------------------------- sample
+
+    def _eval_denoise_fn(self, params=None):
+        params = self.state.params if params is None else params
+
+        def denoise_fn(x, t):
+            out, _ = self._denoise_apply(
+                params, self.state.batch_stats, x, t, train=False
+            )
+            return out
+
+        return denoise_fn
+
+    def _get_sampler(self, shape, unconditional=False):
+        ck = (shape, unconditional)
+        if ck not in self._sample_cache:
+            diffusion = self.val_diffusion
+
+            @jax.jit
+            def run(params, batch_stats, key, cond):
+                def denoise_fn(x, t):
+                    variables = {"params": params}
+                    if batch_stats is not None:
+                        variables["batch_stats"] = batch_stats
+                    return self.unet.apply(variables, x, t, train=False)
+
+                if unconditional:
+                    return diffusion.sample_loop(denoise_fn, key, shape=shape)
+                return diffusion.super_resolution(denoise_fn, key, cond)
+
+            self._sample_cache[ck] = run
+        return self._sample_cache[ck]
+
+    def super_resolution(self, cond, key=None):
+        """Reverse-diffuse conditioned on the upsampled LR latent
+        (model/model.py:61-70 test())."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        cond = jnp.asarray(cond)
+        run = self._get_sampler(tuple(cond.shape))
+        return run(self.state.params, self.state.batch_stats, key, cond)
+
+    def sample(self, batch_size=1, key=None):
+        """Unconditional generation (model/model.py:72-79)."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        shape = (batch_size, self.image_size, self.image_size, self.channels)
+        run = self._get_sampler(shape, unconditional=True)
+        return run(self.state.params, self.state.batch_stats, key, None)
+
+    # ------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, ckpt_dir, epoch, iter_step):
+        """Orbax checkpoint named like the reference's
+        I{iter}_E{epoch} pairs (model/model.py:125-145)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}")
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.device_get(self.state))
+        return path
+
+    def load_checkpoint(self, path):
+        import orbax.checkpoint as ocp
+
+        target = jax.tree.map(np.asarray, jax.device_get(self.state))
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = replicate(self.mesh, restored)
+
+    def load_torch_resume(self, load_path):
+        """Load a reference '{prefix}_gen.pth' state_dict, dropping the
+        first/last conv weights exactly like the reference loader
+        (model/model.py:185-192) so channel counts may differ."""
+        from ..io.convert_torch import load_state_dict, state_dict_to_flax
+
+        sd = load_state_dict(f"{load_path}_gen.pth")
+        drop = {
+            "denoise_fn.downs.0.weight",
+            "denoise_fn.final_conv.block.3.weight",
+            "denoise_fn.final_conv.block.3.bias",
+        }
+        sd = {k: v for k, v in sd.items() if k not in drop}
+        converted = state_dict_to_flax(sd)
+
+        def merge(cur, new):
+            if isinstance(cur, dict):
+                return {
+                    k: merge(cur[k], new[k]) if k in (new or {}) else cur[k]
+                    for k in cur
+                }
+            return new if (new is not None and new.shape == cur.shape) else cur
+
+        params = jax.device_get(self.state.params)
+        merged = merge(params, converted.get("params", {}))
+        self.state = self.state.replace(params=replicate(self.mesh, merged))
+        self.begin_step = 0
+        self.begin_epoch = 0
+
+    def load_resume(self, resume):
+        """Dispatch resume path: orbax dir or torch prefix."""
+        if os.path.isdir(resume):
+            self.load_checkpoint(resume)
+        elif os.path.exists(f"{resume}_gen.pth"):
+            self.load_torch_resume(resume)
+        else:
+            raise FileNotFoundError(f"resume_state not found: {resume}")
+
+    # ------------------------------------------------------------- misc
+
+    def get_current_log(self):
+        return {k: float(v) for k, v in self.log_dict.items()}
+
+    @property
+    def n_params(self):
+        return sum(v.size for v in jax.tree.leaves(self.state.params))

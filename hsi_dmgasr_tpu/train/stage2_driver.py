@@ -1,0 +1,232 @@
+"""Stage-2 DMGASR train/val driver (reference sr_gae.py:127-583).
+
+Differences by design:
+  * The GAE is loaded ONCE (the reference torch.load()s it from disk
+    every batch, sr_gae.py:228).
+  * Per-batch training folds the G groups into one optimizer step
+    (`per_group` restores reference dynamics; sr_gae.py:245-250).
+  * Validation runs all G groups as one batched reverse diffusion
+    (sr_gae.py:458-465 runs them sequentially) and computes the metric
+    suite on device.
+
+Config schema additions over the reference (which hard-codes its data
+paths in code): ``datasets.{train,val}.dataroot`` + ``datatype`` in
+{'hsi_mat', 'hsi_npy', 'mat_pairs_train', 'mat_pairs_test'}, and a
+``gae`` section {checkpoint, n_subs, n_ovls, n_colors, n_feats}.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..config import setup_logger
+from ..data import (
+    DataLoader,
+    HSTestData,
+    HSTrainingData,
+    TestsetFromFolder,
+    TrainsetFromFolder,
+)
+from ..evalhsi import color_correction, quality_assessment, sum_dict
+from ..evalhsi.image_io import save_error_map, save_img3, tensor2img
+from ..pipeline import DMGASRPipeline
+from ..train.ddpm_model import DDPMModel
+
+logger = logging.getLogger("base")
+
+
+def load_gae(opt):
+    """(variables, config) from the config's gae section."""
+    gae_opt = opt.get("gae") or {}
+    ckpt = gae_opt.get("checkpoint")
+    if ckpt and ckpt.endswith(".pth"):
+        from ..io.convert_torch import load_torch_gae
+
+        return load_torch_gae(ckpt)
+    if ckpt:
+        from .stage1_gae import GAETrainer
+
+        return GAETrainer.load_gae_variables(ckpt)
+    raise ValueError("config['gae']['checkpoint'] is required")
+
+
+def build_dataset(ds_opt, phase, n_scale=4):
+    datatype = ds_opt.get("datatype", "hsi_mat")
+    root = ds_opt["dataroot"]
+    if datatype == "hsi_mat":
+        if phase == "train":
+            return HSTrainingData(
+                root, n_scale=ds_opt.get("n_scale") or n_scale,
+                augment=bool(ds_opt.get("augment", True)),
+                base_size=ds_opt.get("l_resolution") or 32,
+            )
+        return HSTestData(
+            root, n_scale=ds_opt.get("n_scale") or n_scale,
+            gt_size=ds_opt.get("r_resolution") or 64,
+        )
+    if datatype == "hsi_npy":
+        return HSTestData(
+            root, n_scale=ds_opt.get("n_scale") or n_scale,
+            gt_size=ds_opt.get("r_resolution") or 64,
+        )
+    if datatype == "mat_pairs_train":
+        return TrainsetFromFolder(root, scale=ds_opt.get("n_scale") or n_scale)
+    if datatype == "mat_pairs_test":
+        return TestsetFromFolder(
+            root, scale=ds_opt.get("n_scale") or n_scale,
+            lr_size=ds_opt.get("l_resolution") or 32,
+            hr_size=ds_opt.get("r_resolution") or 128,
+        )
+    raise NotImplementedError(f"datatype [{datatype}]")
+
+
+def _limit(ds, data_len):
+    if data_len and data_len > 0:
+        class _Limited:
+            def __init__(self, inner, n):
+                self.inner, self.n = inner, min(n, len(inner))
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return self.inner[i]
+
+        return _Limited(ds, data_len)
+    return ds
+
+
+def build_pipeline(opt, seed=0):
+    gae_vars, gae_cfg = load_gae(opt)
+    ddpm = DDPMModel(opt, seed=seed)
+    return DMGASRPipeline(opt, gae_vars, gae_cfg, ddpm=ddpm, seed=seed)
+
+
+def validate(pipeline, val_loader, opt, result_path=None, step=0,
+             save_outputs=True, ratio=4):
+    """One validation sweep (sr_gae.py:275-411): metrics raw + color-
+    corrected, per-cube timing, result dumps."""
+    indices = indices_cc = None
+    total_time, idx = 0.0, 0
+    if result_path:
+        os.makedirs(result_path, exist_ok=True)
+    for val_data in val_loader:
+        idx += 1
+        sr_cube = val_data["SR"]
+        hr_cube = val_data["HR"]
+        t0 = time.time()
+        pred = np.asarray(pipeline.super_resolve(sr_cube))
+        total_time += time.time() - t0
+
+        y, gt = pred[0], np.asarray(hr_cube)[0]
+        qa = quality_assessment(gt, y, data_range=1.0, ratio=ratio)
+        indices = qa if indices is None else sum_dict(indices, qa)
+        y_cc = color_correction(gt, y, num_channels=gt.shape[-1])
+        qa_cc = quality_assessment(gt, y_cc, data_range=1.0, ratio=ratio)
+        indices_cc = qa_cc if indices_cc is None else sum_dict(indices_cc, qa_cc)
+
+        if result_path and save_outputs:
+            np.save(f"{result_path}/{step}_{idx}_hr.npy", gt)
+            np.save(f"{result_path}/{step}_{idx}_sr.npy", y_cc)
+            save_img3(tensor2img(y), f"{result_path}/{step}_{idx}_sr.png")
+            save_img3(tensor2img(gt), f"{result_path}/{step}_{idx}_hr.png")
+            save_img3(
+                tensor2img(np.asarray(sr_cube)[0]),
+                f"{result_path}/{step}_{idx}_inf.png",
+            )
+            save_error_map(np.abs(y - gt), f"{result_path}/{step}_{idx}_err.png")
+
+    indices = {k: v / idx for k, v in indices.items()}
+    indices_cc = {k: v / idx for k, v in indices_cc.items()}
+    return {
+        "indices": indices,
+        "indices_cc": indices_cc,
+        "total_time": total_time,
+        "ave_time": total_time / idx,
+        "n": idx,
+    }
+
+
+def train(opt, seed=0, max_steps=None):
+    """The sr_gae train loop (sr_gae.py:210-424)."""
+    setup_logger("base", opt["path"]["log"], "train", screen=True)
+    val_logger = setup_logger("val", opt["path"]["log"], "val")
+
+    pipeline = build_pipeline(opt, seed=seed)
+    train_opt = opt["datasets"]["train"]
+    val_opt = opt["datasets"]["val"]
+    scale = opt.get("scale") or 4
+    train_set = _limit(
+        build_dataset(train_opt, "train", scale), train_opt.get("data_len")
+    )
+    val_set = _limit(build_dataset(val_opt, "val", scale), val_opt.get("data_len"))
+    train_loader = DataLoader(
+        train_set, batch_size=train_opt["batch_size"],
+        shuffle=bool(train_opt.get("use_shuffle", True)), seed=seed,
+    )
+    val_loader = DataLoader(val_set, batch_size=1)
+
+    n_iter = opt["train"]["n_iter"]
+    if max_steps is not None:
+        n_iter = min(n_iter, max_steps)
+    print_freq = opt["train"]["print_freq"]
+    val_freq = opt["train"]["val_freq"]
+    save_freq = opt["train"]["save_checkpoint_freq"]
+    per_group = bool(opt["train"].get("per_group_steps"))
+
+    current_step, current_epoch = 0, 0
+    results = {}
+    while current_step < n_iter:
+        current_epoch += 1
+        for batch in train_loader:
+            current_step += 1
+            if current_step > n_iter:
+                break
+            loss = pipeline.train_step(
+                {"HR": batch["HR"], "SR": batch["SR"]}, per_group=per_group
+            )
+            if current_step % print_freq == 0:
+                logger.info(
+                    "<epoch:%3d, iter:%8d> l_pix: %.4e",
+                    current_epoch, current_step, float(loss),
+                )
+            if current_step % val_freq == 0:
+                result_path = os.path.join(
+                    opt["path"]["results"], str(current_epoch)
+                )
+                results = validate(
+                    pipeline, val_loader, opt, result_path, current_step,
+                    ratio=scale,
+                )
+                val_logger.info(
+                    "<epoch:%3d, iter:%8d> indices: %s indices_cc: %s "
+                    "total_time: %.3f ave_time: %.3f",
+                    current_epoch, current_step, results["indices"],
+                    results["indices_cc"], results["total_time"],
+                    results["ave_time"],
+                )
+            if current_step % save_freq == 0:
+                pipeline.ddpm.save_checkpoint(
+                    opt["path"]["checkpoint"], current_epoch, current_step
+                )
+    return pipeline, results
+
+
+def run_val_phase(opt, seed=0):
+    """The `-p val` full evaluation (sr_gae.py:428-583)."""
+    setup_logger("base", opt["path"]["log"], "val", screen=True)
+    pipeline = build_pipeline(opt, seed=seed)
+    scale = opt.get("scale") or 4
+    val_opt = opt["datasets"]["val"]
+    val_set = _limit(build_dataset(val_opt, "val", scale), val_opt.get("data_len"))
+    val_loader = DataLoader(val_set, batch_size=1)
+    results = validate(
+        pipeline, val_loader, opt,
+        os.path.join(opt["path"]["results"], "val"), 0, ratio=scale,
+    )
+    logger.info("validation results: %s", results)
+    return results

@@ -36,3 +36,22 @@ def golden_dir():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(1234)
+
+
+@pytest.fixture(scope="session")
+def synth_data(tmp_path_factory):
+    """Session-scoped synthetic HSI dataset tree (all formats)."""
+    import subprocess
+    import sys
+
+    out = tmp_path_factory.mktemp("hsi_synth")
+    root = os.path.dirname(os.path.dirname(__file__))
+    subprocess.run(
+        [
+            sys.executable, os.path.join(root, "tools", "make_synth_data.py"),
+            "--out", str(out), "--scenes", "2", "--size", "96",
+            "--channels", "31", "--scale", "2",
+        ],
+        check=True,
+    )
+    return str(out)
