@@ -1,0 +1,172 @@
+"""Flagship benchmark: full DMGASR x4 inference on a 512x512x102 Pavia cube.
+
+Measures the end-to-end pipeline of the reference's `sr_gae.py -p val`
+path (GAE-encode -> G-group-batched T-step reverse diffusion -> GAE-decode)
+on one chip, with the real converted GAE_4_Pav weights when available.
+
+Prints ONE JSON line:
+  {"metric": "dmgasr_x4_512x512x102_cube_seconds", "value": <s>,
+   "unit": "s", "vs_baseline": <north_star_30s / value>}
+
+The BASELINE.json north-star is <30 s on v5e-8 (8 chips); vs_baseline
+uses that 30 s budget, so >1.0 on a single chip means the 8-chip goal is
+comfortably beaten.
+
+Flags: --small (CPU-friendly miniature), --dtype {bf16,f32}, --repeats N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 30.0
+GAE_CKPT = os.environ.get(
+    "GAE_PRETRAINED", "/root/reference/GAE_pretrained/GAE_4_Pav.pth"
+)
+
+
+def build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hsi_dmgasr_tpu.models import GAE
+    from hsi_dmgasr_tpu.models.networks import define_G, init_weights
+
+    if args.small:
+        size, channels, inner, mults, attn, n_sub, n_ovl, feats = (
+            64, 31, 16, [1, 2], [16], 8, 2, 16
+        )
+    else:
+        size, channels, inner, mults, attn, n_sub, n_ovl, feats = (
+            512, 102, 64, [1, 2, 4, 8, 8], [16], 16, 4, 64
+        )
+
+    opt = {
+        "model": {
+            "which_model_G": "sr3",
+            "unet": {
+                "in_channel": 6, "out_channel": 3, "inner_channel": inner,
+                "norm_groups": 16 if args.small else 32,
+                "channel_multiplier": mults, "attn_res": attn,
+                "res_blocks": 2, "dropout": 0.0,
+            },
+            "beta_schedule": {
+                "val": {"schedule": "cosine", "n_timestep": args.timesteps,
+                        "linear_start": 1e-6, "linear_end": 1e-2},
+            },
+            "diffusion": {"image_size": size, "channels": 3,
+                          "conditional": True},
+        },
+    }
+
+    key = jax.random.PRNGKey(0)
+    gae_loaded = False
+    if not args.small and os.path.exists(GAE_CKPT):
+        from hsi_dmgasr_tpu.io import load_torch_gae
+
+        gae_vars, cfg = load_torch_gae(GAE_CKPT)
+        gae = GAE(n_subs=cfg["n_subs"], n_ovls=cfg["n_ovls"],
+                  n_colors=cfg["n_colors"], n_feats=cfg["n_feats"])
+        channels = cfg["n_colors"]
+        gae_loaded = True
+    else:
+        gae = GAE(n_subs=n_sub, n_ovls=n_ovl, n_colors=channels,
+                  n_feats=feats)
+        gae_vars = gae.init(
+            key, jnp.zeros((1, 32, 32, channels), jnp.float32)
+        )
+
+    from hsi_dmgasr_tpu.models.networks import diffusion_for_phase
+
+    unet, _ = define_G({**opt, "model": {**opt["model"],
+                        "beta_schedule": {"train": opt["model"]["beta_schedule"]["val"],
+                                          **opt["model"]["beta_schedule"]}}})
+    diffusion = diffusion_for_phase(opt, "val")
+    unet_vars = unet.init(
+        key, jnp.zeros((1, 64, 64, 6), jnp.float32), jnp.zeros((1, 1))
+    )
+    unet_vars = {"params": init_weights(unet_vars["params"], key)}
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if dtype != jnp.float32:
+        gae_vars = jax.tree.map(lambda x: x.astype(dtype), gae_vars)
+        unet_vars = jax.tree.map(lambda x: x.astype(dtype), unet_vars)
+
+    def super_resolve(key, sr_cube):
+        z = gae.apply(gae_vars, sr_cube.astype(dtype), method=GAE.encode)
+        b, g, h, w, c = z.shape
+        cond = z.reshape(b * g, h, w, c)
+
+        def denoise_fn(x, t):
+            return unet.apply(unet_vars, x.astype(dtype), t.astype(dtype))
+
+        z_out = diffusion.sample_loop(denoise_fn, key, cond=cond)
+        y = gae.apply(
+            gae_vars, z_out.reshape(b, g, h, w, c).astype(dtype),
+            method=GAE.decode,
+        )
+        return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+
+    return super_resolve, size, channels, gae_loaded
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--timesteps", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    fn, size, channels, gae_loaded = build(args)
+    run = jax.jit(fn)
+
+    rng = np.random.RandomState(0)
+    cube = jnp.asarray(rng.rand(1, size, size, channels), jnp.float32)
+
+    # compile + warmup
+    t0 = time.time()
+    run(jax.random.PRNGKey(0), cube).block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        run(jax.random.PRNGKey(i + 1), cube).block_until_ready()
+        times.append(time.time() - t0)
+    secs = float(np.median(times))
+
+    info = {
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_s, 2),
+        "times": [round(t, 3) for t in times],
+        "dtype": args.dtype,
+        "timesteps": args.timesteps,
+        "gae_ckpt": gae_loaded,
+        "size": size,
+        "channels": channels,
+    }
+    print(json.dumps(info), file=sys.stderr)
+    print(json.dumps({
+        "metric": "dmgasr_x4_512x512x102_cube_seconds",
+        "value": round(secs, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / secs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,12 @@ def main(argv=None):
     p.add_argument("--scale", type=int, default=4)
     p.add_argument("--out", default="./weight/gae")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     args = p.parse_args(argv)
+
+    from .common import force_platform
+    force_platform(args.platform)
 
     logging.basicConfig(level=logging.INFO)
     if args.datatype == "mat_pairs":

@@ -7,6 +7,15 @@ import argparse
 from .. import config as config_mod
 
 
+def force_platform(platform):
+    """Pin the jax platform (the image's sitecustomize pre-imports jax and
+    pins 'axon,cpu', so env vars alone cannot select CPU)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def base_parser(default_config, default_phase="train"):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", type=str, default=default_config)
@@ -19,6 +28,8 @@ def base_parser(default_config, default_phase="train"):
     p.add_argument("-log_eval", action="store_true")
     p.add_argument("-log_infer", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu)")
     return p
 
 

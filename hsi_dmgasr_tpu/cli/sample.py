@@ -16,13 +16,14 @@ from ..config import setup_logger
 from ..data import create_dataloader, create_dataset
 from ..evalhsi.image_io import save_img, tensor2img
 from ..train.ddpm_model import DDPMModel
-from .common import base_parser, parse_opt
+from .common import base_parser, force_platform, parse_opt
 
 logger = logging.getLogger("base")
 
 
 def main(argv=None):
     args = base_parser("configs/sample_ddpm_16.json", "train").parse_args(argv)
+    force_platform(args.platform)
     opt = parse_opt(args)
     setup_logger("base", opt["path"]["log"], args.phase, screen=True)
 

@@ -133,7 +133,7 @@ class GAE(nn.Module):
         dec = jnp.moveaxis(dec, 1, 3).reshape(b, h, w, self.G * self.n_subs)
         y = jnp.zeros((b, h, w, self.n_colors), dtype=dec.dtype)
         y = y.at[..., jnp.asarray(self.idx.reshape(-1))].add(dec)
-        return y / jnp.asarray(self.counts)
+        return y / jnp.asarray(self.counts, dtype=dec.dtype)
 
     def _refine(self, y):
         """Residual refinement trunk (AE.py:302-308)."""

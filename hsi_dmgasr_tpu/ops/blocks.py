@@ -58,20 +58,32 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     dilation: int = 1
     padding: str | int | None = None  # None -> torch-style k//2 * dilation
+    weight_norm: bool = False  # torch.nn.utils.weight_norm reparam
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         in_ch = x.shape[-1]
-        kernel = self.param(
-            "kernel", torch_conv_kernel_init, (k, k, in_ch, self.features)
-        )
+        if self.weight_norm:
+            from .extra import _wn_kernel
+
+            kernel = _wn_kernel(
+                self, "kernel", (k, k, in_ch, self.features), k * k * in_ch
+            )
+        else:
+            kernel = self.param(
+                "kernel", torch_conv_kernel_init, (k, k, in_ch, self.features)
+            )
         if self.padding is None:
             pad = (k // 2) * self.dilation
         else:
             pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
+        # mixed precision: follow the input's compute dtype (params may be
+        # stored in bf16 for inference or f32 for training)
+        if kernel.dtype != x.dtype:
+            kernel = kernel.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -82,7 +94,7 @@ class Conv2d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(k * k * in_ch), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -1,0 +1,66 @@
+"""Baseline zoo: structural parity (exact param counts vs the torch
+reference at fixed configs) + forward shape checks."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hsi_dmgasr_tpu.models.baselines import EDSR, GDRNN, GELIN, MCNet, SSPSR
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "baseline_params_golden.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("baseline goldens not generated")
+    return np.load(GOLDEN)
+
+
+def _n(v):
+    return sum(p.size for p in jax.tree.leaves(v))
+
+
+@pytest.fixture(scope="module")
+def x():
+    return np.random.RandomState(0).rand(1, 8, 8, 31).astype(np.float32)
+
+
+def test_sspsr(golden, x):
+    m = SSPSR(n_subs=8, n_ovls=2, n_colors=31, n_blocks=3, n_feats=16, n_scale=4)
+    v = m.init(jax.random.PRNGKey(0), x, x)
+    assert _n(v) == int(golden["sspsr_params"])
+    assert m.apply(v, x, x).shape == (1, 32, 32, 31)
+
+
+def test_gelin(golden, x):
+    lms = np.random.RandomState(1).rand(1, 32, 32, 31).astype(np.float32)
+    m = GELIN(n_feats=16, n_colors=31, n_subs=8, n_ovls=2, blocks=2, scale=4)
+    v = m.init(jax.random.PRNGKey(0), x, lms)
+    assert _n(v) == int(golden["gelin_params"])
+    assert m.apply(v, x, lms).shape == (1, 32, 32, 31)
+
+
+def test_mcnet(golden, x):
+    m = MCNet(scale=4, n_colors=31, n_feats=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert _n(v) == int(golden["mcnet_params"])
+    assert m.apply(v, x).shape == (1, 32, 32, 31)
+
+
+def test_edsr(golden, x):
+    m = EDSR(n_resblocks=2, n_feats=16, n_colors=31)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert _n(v) == int(golden["edsr_params"])
+    assert m.apply(v, x).shape == (1, 16, 16, 31)  # x2 internal scale
+
+
+def test_gdrrn(golden, x):
+    m = GDRNN(input_chnl_hsi=31, group=4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert _n(v) == int(golden["gdrrn_params"])
+    assert m.apply(v, x).shape == (1, 8, 8, 31)
