@@ -36,7 +36,7 @@ def build(args):
     import jax.numpy as jnp
 
     from hsi_dmgasr_tpu.models import GAE
-    from hsi_dmgasr_tpu.models.networks import define_G, init_weights
+    from hsi_dmgasr_tpu.models.networks import init_weights
 
     if args.small:
         size, channels, inner, mults, attn, n_sub, n_ovl, feats = (
@@ -83,10 +83,16 @@ def build(args):
         )
 
     from hsi_dmgasr_tpu.models.networks import diffusion_for_phase
+    from hsi_dmgasr_tpu.models.unet import UNet
 
-    unet, _ = define_G({**opt, "model": {**opt["model"],
-                        "beta_schedule": {"train": opt["model"]["beta_schedule"]["val"],
-                                          **opt["model"]["beta_schedule"]}}})
+    u = opt["model"]["unet"]
+    unet = UNet(
+        in_channel=u["in_channel"], out_channel=u["out_channel"],
+        inner_channel=u["inner_channel"], norm_groups=u["norm_groups"],
+        channel_mults=tuple(u["channel_multiplier"]),
+        attn_res=tuple(u["attn_res"]), res_blocks=u["res_blocks"],
+        image_size=size,
+    )
     diffusion = diffusion_for_phase(opt, "val")
     unet_vars = unet.init(
         key, jnp.zeros((1, 64, 64, 6), jnp.float32), jnp.zeros((1, 1))
