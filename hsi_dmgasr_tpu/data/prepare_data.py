@@ -1,0 +1,77 @@
+"""Offline dataset builder (reference data/prepare_data.py).
+
+Resizes source images to (low, high) pairs and a bicubic fake-SR, writing
+the folder layout the LRHR 'img' mode consumes:
+  {out}_{l}_{r}/hr_{r}/*.png, lr_{l}/*.png, sr_{l}_{r}/*.png
+(lmdb output is gated on the lmdb package, absent in this image).
+
+Pure-CPU tool; parallelized with a thread pool instead of the reference's
+multiprocessing workers (prepare_data.py:50-134).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+
+def resize_and_convert(img, size, resample):
+    from PIL import Image
+
+    if img.size[0] != size:
+        img = img.resize((size, size), resample)
+    return img
+
+
+def process_one(paths, out_dir, sizes, keep_aspect=False):
+    from PIL import Image
+
+    i, path = paths
+    low, high = sizes
+    img = Image.open(path).convert("RGB")
+    hr = resize_and_convert(img, high, Image.BICUBIC)
+    lr = resize_and_convert(hr, low, Image.BICUBIC)
+    sr = resize_and_convert(lr, high, Image.BICUBIC)
+    stem = f"{i:05d}"
+    hr.save(os.path.join(out_dir, f"hr_{high}", f"{stem}.png"))
+    lr.save(os.path.join(out_dir, f"lr_{low}", f"{stem}.png"))
+    sr.save(os.path.join(out_dir, f"sr_{low}_{high}", f"{stem}.png"))
+
+
+def prepare(path, out, size="16,128", n_worker=8):
+    sizes = tuple(int(s) for s in size.split(","))
+    low, high = sizes
+    out_dir = f"{out}_{low}_{high}"
+    for sub in (f"hr_{high}", f"lr_{low}", f"sr_{low}_{high}"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(path)
+        for f in fns if f.lower().endswith(exts)
+    )
+    worker = partial(process_one, out_dir=out_dir, sizes=sizes)
+    with ThreadPoolExecutor(max_workers=n_worker) as ex:
+        list(ex.map(worker, enumerate(files)))
+    return out_dir, len(files)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", default="16,128")
+    p.add_argument("--n_worker", type=int, default=8)
+    p.add_argument("-l", "--lmdb", action="store_true")
+    args = p.parse_args(argv)
+    if args.lmdb:
+        raise SystemExit("lmdb output requires the lmdb package "
+                         "(not installed in this image)")
+    out_dir, n = prepare(args.path, args.out, args.size, args.n_worker)
+    print(f"wrote {n} triplets to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

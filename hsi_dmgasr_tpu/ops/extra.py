@@ -46,11 +46,13 @@ class Deconv2d(nn.Module):
     kernel_size: int
     stride: int
     padding: int = 0
+    output_padding: int = 0
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
+        op = self.output_padding
         in_ch = x.shape[-1]
         fan_in = self.features * k * k  # torch uses weight.size(1)*k*k
         bound = 1.0 / math.sqrt(fan_in)
@@ -66,7 +68,7 @@ class Deconv2d(nn.Module):
         y = jax.lax.conv_transpose(
             x, kernel.astype(x.dtype).swapaxes(-2, -1),
             strides=(s, s),
-            padding=[(k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)],
+            padding=[(k - 1 - p, k - 1 - p + op), (k - 1 - p, k - 1 - p + op)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
         )

@@ -155,6 +155,10 @@ def train(opt, seed=0, max_steps=None):
     """The sr_gae train loop (sr_gae.py:210-424)."""
     setup_logger("base", opt["path"]["log"], "train", screen=True)
     val_logger = setup_logger("val", opt["path"]["log"], "val")
+    from ..utils.loggers import TBLogger, WandbLogger
+
+    tb = TBLogger(opt["path"].get("tb_logger") or opt["path"]["log"])
+    wandb_logger = WandbLogger(opt) if opt.get("enable_wandb") else None
 
     pipeline = build_pipeline(opt, seed=seed)
     train_opt = opt["datasets"]["train"]
@@ -194,6 +198,9 @@ def train(opt, seed=0, max_steps=None):
                     "<epoch:%3d, iter:%8d> l_pix: %.4e",
                     current_epoch, current_step, float(loss),
                 )
+                tb.add_scalar("l_pix", float(loss), current_step)
+                if wandb_logger:
+                    wandb_logger.log_metrics({"l_pix": float(loss)})
             if current_step % val_freq == 0:
                 result_path = os.path.join(
                     opt["path"]["results"], str(current_epoch)
@@ -209,6 +216,13 @@ def train(opt, seed=0, max_steps=None):
                     results["indices_cc"], results["total_time"],
                     results["ave_time"],
                 )
+                for k, v in results["indices"].items():
+                    tb.add_scalar(f"val/{k}", v, current_step)
+                if wandb_logger:
+                    wandb_logger.log_metrics(
+                        {f"validation/{k}": v
+                         for k, v in results["indices"].items()}
+                    )
             if current_step % save_freq == 0:
                 pipeline.ddpm.save_checkpoint(
                     opt["path"]["checkpoint"], current_epoch, current_step

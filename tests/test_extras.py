@@ -1,0 +1,86 @@
+"""Tests for DAQ quantization, refiners, CEGATSR, and extra ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsi_dmgasr_tpu.ops.extra import Deconv2d, PReLU, avg_pool
+from hsi_dmgasr_tpu.ops.quantize import Quantization, ResBlockDAQ, quantize_weights
+
+
+def test_quantization_ste_gradient():
+    x = np.random.RandomState(0).randn(2, 8, 8, 16).astype(np.float32)
+    q = Quantization(bit=4, qq_bit=32)
+    v = q.init(jax.random.PRNGKey(0), x)
+    out = q.apply(v, x)
+    # quantization reduces the value alphabet
+    assert len(np.unique(np.round(np.asarray(out[0, :, :, 0]), 4))) < 40
+    g = jax.grad(lambda x: (q.apply(v, x) ** 2).sum())(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+    assert (np.asarray(g) != 0).any()
+
+
+def test_quantize_weights_identity_at_32bit():
+    w = jnp.asarray(np.random.RandomState(0).randn(3, 3, 4, 8), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(quantize_weights(w, 32)), np.asarray(w))
+
+
+def test_daq_resblock():
+    x = np.random.RandomState(0).randn(1, 8, 8, 8).astype(np.float32)
+    m = ResBlockDAQ(n_feats=8, a_bit=4, w_bit=4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape
+
+
+def test_attention_net_and_post_unet():
+    from hsi_dmgasr_tpu.models.refiners import AttentionNet, post_unet
+
+    x = np.random.RandomState(0).rand(1, 16, 16, 31).astype(np.float32)
+    m = AttentionNet(n_colors=31, n_feats=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape
+
+    u = post_unet(31, 31, inner_channel=8, image_size=16)
+    vu = u.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    out = u.apply(vu, x, jnp.zeros((1,), jnp.int32))
+    assert out.shape == x.shape
+
+
+def test_codebook_vq():
+    from hsi_dmgasr_tpu.models.refiners import Codebook
+
+    z = np.random.RandomState(0).randn(1, 4, 4, 8).astype(np.float32)
+    m = Codebook(num_codebook_vectors=16, latent_dim=8)
+    v = m.init(jax.random.PRNGKey(0), z)
+    z_q, idx, loss = m.apply(v, z)
+    assert z_q.shape == z.shape
+    assert idx.shape == (16,)
+    assert np.isfinite(float(loss))
+
+
+def test_cegatsr_forward():
+    from hsi_dmgasr_tpu.models.baselines.cegatsr import CEGATSR, knn_adjacency
+
+    t = jnp.asarray(np.random.RandomState(0).rand(2, 16, 4), jnp.float32)
+    adj = knn_adjacency(t, k=7)
+    np.testing.assert_array_equal(np.asarray(adj.sum(-1)), 7.0)
+
+    m = CEGATSR(n_subs=8, n_ovls=2, in_feats=31, n_blocks=1, out_feats=16,
+                n_scale=4)
+    x = np.random.RandomState(0).rand(1, 8, 8, 31).astype(np.float32)
+    lms = np.random.RandomState(1).rand(1, 32, 32, 31).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x, lms)
+    assert m.apply(v, x, lms).shape == (1, 32, 32, 31)
+
+
+def test_prelu_and_avgpool():
+    x = np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32)
+    p = PReLU(4)
+    v = p.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(p.apply(v, x))
+    np.testing.assert_allclose(out, np.where(x > 0, x, 0.25 * x), atol=1e-6)
+    pooled = np.asarray(avg_pool(jnp.asarray(x), 2))
+    assert pooled.shape == (1, 4, 4, 4)
+    np.testing.assert_allclose(pooled[0, 0, 0], x[0, :2, :2].mean(axis=(0, 1)),
+                               rtol=1e-5)
