@@ -3,5 +3,17 @@ from .gelin import GELIN
 from .edsr import EDSR
 from .gdrrn import GDRNN
 from .mcnet import MCNet
+from .cegatsr import CEGATSR
+from .gan3d import Discriminator as GAN3DDiscriminator
+from .gan3d import Generator as GAN3DGenerator
 
-__all__ = ["EDSR", "GDRNN", "GELIN", "MCNet", "SSPSR"]
+__all__ = [
+    "CEGATSR",
+    "EDSR",
+    "GAN3DDiscriminator",
+    "GAN3DGenerator",
+    "GDRNN",
+    "GELIN",
+    "MCNet",
+    "SSPSR",
+]
