@@ -104,22 +104,24 @@ def build(args):
         gae_vars = jax.tree.map(lambda x: x.astype(dtype), gae_vars)
         unet_vars = jax.tree.map(lambda x: x.astype(dtype), unet_vars)
 
-    def super_resolve(key, sr_cube):
-        z = gae.apply(gae_vars, sr_cube.astype(dtype), method=GAE.encode)
+    # params are jit ARGUMENTS, not closure constants — baking ~100M f32
+    # params into the serialized HLO blows up remote-compile payloads.
+    def super_resolve(gv, uv, key, sr_cube):
+        z = gae.apply(gv, sr_cube.astype(dtype), method=GAE.encode)
         b, g, h, w, c = z.shape
         cond = z.reshape(b * g, h, w, c)
 
         def denoise_fn(x, t):
-            return unet.apply(unet_vars, x.astype(dtype), t.astype(dtype))
+            return unet.apply(uv, x.astype(dtype), t.astype(dtype))
 
         z_out = diffusion.sample_loop(denoise_fn, key, cond=cond)
         y = gae.apply(
-            gae_vars, z_out.reshape(b, g, h, w, c).astype(dtype),
+            gv, z_out.reshape(b, g, h, w, c).astype(dtype),
             method=GAE.decode,
         )
         return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
 
-    return super_resolve, size, channels, gae_loaded
+    return super_resolve, (gae_vars, unet_vars), size, channels, gae_loaded
 
 
 def main():
@@ -137,21 +139,24 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    fn, size, channels, gae_loaded = build(args)
+    fn, (gae_vars, unet_vars), size, channels, gae_loaded = build(args)
     run = jax.jit(fn)
+    gae_vars = jax.device_put(gae_vars)
+    unet_vars = jax.device_put(unet_vars)
 
     rng = np.random.RandomState(0)
     cube = jnp.asarray(rng.rand(1, size, size, channels), jnp.float32)
 
     # compile + warmup
     t0 = time.time()
-    run(jax.random.PRNGKey(0), cube).block_until_ready()
+    run(gae_vars, unet_vars, jax.random.PRNGKey(0), cube).block_until_ready()
     compile_s = time.time() - t0
 
     times = []
     for i in range(args.repeats):
         t0 = time.time()
-        run(jax.random.PRNGKey(i + 1), cube).block_until_ready()
+        run(gae_vars, unet_vars, jax.random.PRNGKey(i + 1),
+            cube).block_until_ready()
         times.append(time.time() - t0)
     secs = float(np.median(times))
 

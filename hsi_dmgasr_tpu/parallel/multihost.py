@@ -1,0 +1,73 @@
+"""Multi-host / multi-slice initialization and cross-host utilities.
+
+Supersedes the reference's distributed/ package (launch.py mp.spawn +
+TCP rendezvous, distributed.py NCCL collectives):
+
+  * ``initialize()`` wraps jax.distributed.initialize — on TPU pods the
+    coordinator/topology comes from the runtime, no spawn or port
+    discovery needed (vs distributed/launch.py:22-49).
+  * rank/size helpers mirror distributed/distributed.py:12-61.
+  * ``all_gather_objects`` replaces the pickle-based object all_gather
+    (distributed/distributed.py:75-107) with
+    multihost_utils.process_allgather.
+  * In-graph collectives (the reference's tensor all_reduce/reduce_dict)
+    have no host-side equivalent here: gradients are averaged by XLA
+    inside jit via the sharded data axis.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host jax. No-ops on single-process setups."""
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    if coordinator_address is None and num_processes is None:
+        # single host or TPU-pod auto-bootstrap
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process fallback
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def get_rank():
+    return jax.process_index()
+
+
+def get_world_size():
+    return jax.process_count()
+
+
+def is_primary():
+    return jax.process_index() == 0
+
+
+def synchronize():
+    """Cross-host barrier (distributed/distributed.py:40-61)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("hsi_dmgasr_tpu_barrier")
+
+
+def all_gather_objects(obj):
+    """Gather a pytree of host values from every process."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(obj)
+
+
+def per_host_slice(dataset_len, batch_size):
+    """(start, stop) index range this host should draw from — the
+    DistributedSampler replacement (distributed/distributed.py:135-143)."""
+    n = jax.process_count()
+    r = jax.process_index()
+    per = dataset_len // n
+    return r * per, (r + 1) * per if r < n - 1 else dataset_len
