@@ -25,11 +25,14 @@ def _cubic_torch(x, a=-0.75):
     return w
 
 
-def _axis_matrix(in_len, out_len):
+def _axis_matrix(in_len, out_len, align_corners=False):
     """Dense (out, in) interpolation matrix for one axis."""
     scale = out_len / in_len
     dst = np.arange(out_len, dtype=np.float64)
-    src = (dst + 0.5) / scale - 0.5
+    if align_corners and out_len > 1:
+        src = dst * (in_len - 1) / (out_len - 1)
+    else:
+        src = (dst + 0.5) / scale - 0.5
     base = np.floor(src).astype(np.int64)
     frac = src - base
     mat = np.zeros((out_len, in_len), dtype=np.float64)
@@ -40,15 +43,15 @@ def _axis_matrix(in_len, out_len):
     return mat
 
 
-def torch_bicubic_resize(x, out_hw):
+def torch_bicubic_resize(x, out_hw, align_corners=False):
     """Resize (H, W, C) or (B, H, W, C) to out_hw=(H', W') torch-style."""
     x = np.asarray(x, dtype=np.float64)
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     b, h, w, c = x.shape
-    mh = _axis_matrix(h, out_hw[0])
-    mw = _axis_matrix(w, out_hw[1])
+    mh = _axis_matrix(h, out_hw[0], align_corners)
+    mw = _axis_matrix(w, out_hw[1], align_corners)
     y = np.einsum("oh,bhwc->bowc", mh, x)
     y = np.einsum("pw,bowc->bopc", mw, y)
     y = y.astype(np.float32)

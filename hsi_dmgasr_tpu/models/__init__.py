@@ -1,3 +1,21 @@
-from .gae import AE, GAE, GAEDecoder, GAEEncoder, SREncoder, group_indices
+from .gae import (
+    AE,
+    GAE,
+    GAEDecoder,
+    GAEEncoder,
+    PostGAE,
+    SREncoder,
+    group_indices,
+    random_mask,
+)
 
-__all__ = ["AE", "GAE", "GAEDecoder", "GAEEncoder", "SREncoder", "group_indices"]
+__all__ = [
+    "AE",
+    "GAE",
+    "GAEDecoder",
+    "GAEEncoder",
+    "PostGAE",
+    "SREncoder",
+    "group_indices",
+    "random_mask",
+]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -154,6 +155,28 @@ class GAE(nn.Module):
         """Full round-trip; returns (recon, latents) (AE.py:326-361)."""
         z = self.encode(x)
         return self.decode(z), z
+
+
+def random_mask(key, data, p=0.2):
+    """Zero a random fraction p of entries (AE.py:95-99) — the masking
+    used by the DDP stage-1 trainer (GAE/AEddp.py:196-247)."""
+    mask = jax.random.uniform(key, data.shape) > p
+    return data * mask.astype(data.dtype)
+
+
+class PostGAE(nn.Module):
+    """Standalone post-refinement net (AE.py:244-252): BranchUnit(256
+    feats, 3 blocks) + 3x3 conv, applied to a decoded cube."""
+
+    n_colors: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = BranchUnit(
+            self.n_colors, n_feats=256, n_blocks=3, act=leaky_relu,
+            res_scale=0.1, up_scale=1, use_tail=False, name="trunk",
+        )(x)
+        return Conv2d(self.n_colors, 3, name="final")(y)
 
 
 class SREncoder(nn.Module):
