@@ -157,6 +157,35 @@ class GAE(nn.Module):
         return self.decode(z), z
 
 
+class ToyAutoencoder(nn.Module):
+    """The 33-channel conv/maxpool toy AE kept in the reference
+    (AE.py:57-92): encoder downsamples x4 to a 3-channel latent, decoder
+    transposed-convs back. Completeness item only."""
+
+    in_channels: int = 33
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.extra import Deconv2d
+
+        def pool(z):
+            return jax.lax.reduce_window(
+                z, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+
+        y = nn.relu(Conv2d(16, 3, name="enc0")(x))
+        y = pool(y)
+        y = nn.relu(Conv2d(8, 3, name="enc1")(y))
+        y = pool(y)
+        z = nn.relu(Conv2d(3, 3, name="enc2")(y))
+        y = nn.relu(Deconv2d(8, 3, 1, 1, name="dec0")(z))
+        y = nn.relu(Deconv2d(16, 3, 2, 1, output_padding=1, name="dec1")(y))
+        y = nn.relu(
+            Deconv2d(self.in_channels, 3, 2, 1, output_padding=1, name="dec2")(y)
+        )
+        return y, z
+
+
 def random_mask(key, data, p=0.2):
     """Zero a random fraction p of entries (AE.py:95-99) — the masking
     used by the DDP stage-1 trainer (GAE/AEddp.py:196-247)."""
