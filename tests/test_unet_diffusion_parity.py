@@ -70,6 +70,25 @@ def test_sr3_unet_forward_parity(golden):
     np.testing.assert_allclose(y_nchw, golden["sr3_y"], atol=2e-5, rtol=1e-4)
 
 
+def test_sr3_unet_deep_forward_parity(golden):
+    """5-level channel-mult config: validates the full skip-stack
+    bookkeeping (initial conv + resblocks + downsamples all pushed)."""
+    if "sr3d_y" not in golden:
+        pytest.skip("deep-unet golden not generated")
+    net = UNet(
+        in_channel=6, out_channel=3, inner_channel=8, norm_groups=4,
+        channel_mults=(1, 2, 4, 8, 8), attn_res=(16,), res_blocks=2,
+        dropout=0.0, image_size=32,
+    )
+    variables = state_dict_to_flax(_sd(golden, "sr3d_sd"))
+    x = np.moveaxis(golden["sr3d_x"], 1, -1)
+    y = net.apply(variables, x, golden["sr3d_gamma"])
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), -1, 1), golden["sr3d_y"],
+        atol=3e-5, rtol=1e-4,
+    )
+
+
 def test_ddpm_unet_forward_parity(golden):
     net = _small_unet(time_embedding="discrete", norm="batch")
     variables = state_dict_to_flax(_sd(golden, "ddpm_sd"))

@@ -60,6 +60,20 @@ def main():
     sd = {f"sr3_sd::{k}": v.numpy() for k, v in net.state_dict().items()}
     payload.update(sd)
 
+    # ---- SR3 UNet, full 5-level config (deep skip-stack bookkeeping)
+    net5 = sr3_unet.UNet(
+        in_channel=6, out_channel=3, inner_channel=8, norm_groups=4,
+        channel_mults=(1, 2, 4, 8, 8), attn_res=(16,), res_blocks=2,
+        dropout=0, image_size=32,
+    ).eval()
+    x5 = rng.rand(1, 6, 32, 32).astype(np.float32)
+    g5 = np.array([[0.5]], dtype=np.float32)
+    y5 = net5(torch.from_numpy(x5), torch.from_numpy(g5))
+    payload["sr3d_x"] = x5
+    payload["sr3d_gamma"] = g5
+    payload["sr3d_y"] = y5.numpy()
+    payload.update({f"sr3d_sd::{k}": v.numpy() for k, v in net5.state_dict().items()})
+
     # ---- DDPM UNet forward (BatchNorm variant, eval mode)
     dnet = ddpm_unet.UNet(
         in_channel=6, out_channel=3, inner_channel=16, norm_groups=8,
