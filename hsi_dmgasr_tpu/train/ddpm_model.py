@@ -186,12 +186,24 @@ class DDPMModel:
 
     def super_resolution(self, cond, key=None):
         """Reverse-diffuse conditioned on the upsampled LR latent
-        (model/model.py:61-70 test())."""
+        (model/model.py:61-70 test()).
+
+        Under a multi-device mesh the conditioning batch is padded to a
+        multiple of the mesh size and sharded on axis 0, so the whole
+        reverse chain runs data-parallel across chips."""
         if key is None:
             self._key, key = jax.random.split(self._key)
         cond = jnp.asarray(cond)
+        n_dev = self.mesh.shape["data"]
+        orig = cond.shape[0]
+        pad = (-orig) % n_dev
+        if pad:
+            cond = jnp.concatenate([cond, cond[:pad]], axis=0)
+        if n_dev > 1:
+            cond = shard_batch(self.mesh, cond)
         run = self._get_sampler(tuple(cond.shape))
-        return run(self.state.params, self.state.batch_stats, key, cond)
+        out = run(self.state.params, self.state.batch_stats, key, cond)
+        return out[:orig] if pad else out
 
     def sample(self, batch_size=1, key=None):
         """Unconditional generation (model/model.py:72-79)."""
