@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .schedules import DiffusionSchedule
 
@@ -149,6 +150,58 @@ class GaussianDiffusion:
             shape=(batch_size, image_size, image_size, channels),
             return_intermediates=return_intermediates,
         )
+
+    # ----------------------------------------------------- fast sampling
+
+    def ddim_sample_loop(self, denoise_fn, key, shape=None, cond=None,
+                         steps=None, eta=0.0):
+        """DDIM sampler (Song et al. 2020) — beyond-reference feature.
+
+        Runs `steps` evenly-strided timesteps of the trained schedule
+        (deterministic at eta=0), cutting inference cost by T/steps at
+        near-identical quality. Same conditioning protocol as the
+        ancestral sampler: the UNet sees sqrt_alphas_cumprod_prev[t+1].
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        steps = steps or T
+        ts = np.linspace(0, T - 1, steps).round().astype(np.int32)[::-1]
+        acp = jnp.asarray(
+            np.append(1.0, sched.alphas_cumprod), jnp.float32
+        )  # index t+1 == alpha_bar_t
+        sacp_prev = jnp.asarray(sched.sqrt_alphas_cumprod_prev, jnp.float32)
+
+        if cond is not None:
+            shape = cond.shape
+        k_init, k_steps = jax.random.split(key)
+        x0 = jax.random.normal(k_init, shape, jnp.float32)
+        step_keys = jax.random.split(k_steps, len(ts))
+        t_cur = jnp.asarray(ts)
+        t_next = jnp.asarray(np.append(ts[1:], -1))
+
+        def body(x, inp):
+            t, tn, k = inp
+            b = x.shape[0]
+            noise_level = jnp.full((b, 1), sacp_prev[t + 1], jnp.float32)
+            inp_x = (jnp.concatenate([cond, x], axis=-1)
+                     if cond is not None else x)
+            eps = denoise_fn(inp_x, noise_level)
+            a_t = acp[t + 1]
+            a_n = acp[tn + 1]  # tn==-1 -> acp[0]==1
+            x0_pred = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            if self.clip_denoised:
+                x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+            sigma = eta * jnp.sqrt(
+                (1 - a_n) / (1 - a_t) * (1 - a_t / a_n)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1 - a_n - sigma ** 2, 0.0)) * eps
+            noise = jax.random.normal(k, x.shape, x.dtype)
+            noise = jnp.where(tn >= 0, noise, jnp.zeros_like(noise))
+            x = jnp.sqrt(a_n) * x0_pred + dir_xt + sigma * noise
+            return x, None
+
+        x_fin, _ = jax.lax.scan(body, x0, (t_cur, t_next, step_keys))
+        return x_fin
 
 
 # ----------------------------------------------------------------------

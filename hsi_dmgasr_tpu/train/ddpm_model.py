@@ -165,7 +165,12 @@ class DDPMModel:
         return denoise_fn
 
     def _get_sampler(self, shape, unconditional=False):
-        ck = (shape, unconditional)
+        # sampler selection: config model.diffusion.sampler = 'ancestral'
+        # (reference behavior, default) | 'ddim' with ddim_steps
+        diff_opt = self.opt["model"]["diffusion"] or {}
+        sampler = diff_opt.get("sampler") or "ancestral"
+        ddim_steps = diff_opt.get("ddim_steps")
+        ck = (shape, unconditional, sampler, ddim_steps)
         if ck not in self._sample_cache:
             diffusion = self.val_diffusion
 
@@ -177,9 +182,12 @@ class DDPMModel:
                         variables["batch_stats"] = batch_stats
                     return self.unet.apply(variables, x, t, train=False)
 
-                if unconditional:
-                    return diffusion.sample_loop(denoise_fn, key, shape=shape)
-                return diffusion.super_resolution(denoise_fn, key, cond)
+                kw = dict(shape=shape) if unconditional else dict(cond=cond)
+                if sampler == "ddim":
+                    return diffusion.ddim_sample_loop(
+                        denoise_fn, key, steps=ddim_steps, **kw
+                    )
+                return diffusion.sample_loop(denoise_fn, key, **kw)
 
             self._sample_cache[ck] = run
         return self._sample_cache[ck]
