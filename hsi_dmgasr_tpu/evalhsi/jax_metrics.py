@@ -57,8 +57,6 @@ def quality_assessment_jax(x_true, x_pred, data_range=1.0, ratio=4):
     """Full metric dict on device; input cubes are (H, W, C)."""
     xt = x_true.astype(jnp.float32)
     xp = x_pred.astype(jnp.float32)
-    h, w, c = xt.shape
-    eps_free = 0.0  # metrics follow reference formulas with no extra eps
 
     # MPSNR: mean over per-band PSNR
     mse_b = jnp.mean((xt - xp) ** 2, axis=(0, 1))
@@ -91,7 +89,7 @@ def quality_assessment_jax(x_true, x_pred, data_range=1.0, ratio=4):
     cc = jnp.mean(num / den)
 
     # RMSE
-    rmse = jnp.sqrt(jnp.mean((xt - xp) ** 2) + eps_free)
+    rmse = jnp.sqrt(jnp.mean((xt - xp) ** 2))
 
     return {
         "MPSNR": mpsnr,

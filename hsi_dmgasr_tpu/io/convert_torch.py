@@ -18,7 +18,6 @@ HWIO (transpose 2,3,1,0). Linear weights are (out,in) -> (in,out).
 from __future__ import annotations
 
 import re
-import sys
 import types
 
 import numpy as np

@@ -15,8 +15,6 @@ Shapes: q, k, v are (B, S, H, D); returns (B, S, H*D).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -17,14 +17,12 @@ negative distances reproduces that set.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.blocks import CALayer, Conv2d, ResBlock, ResAttentionBlock, SSPN, Upsampler
+from ...ops.blocks import Conv2d, SSPN, Upsampler
 from ...ops.extra import Deconv2d
 from ..gae import group_indices
 

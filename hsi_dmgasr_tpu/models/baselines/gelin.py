@@ -12,7 +12,6 @@ jnp.roll over the group axis.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

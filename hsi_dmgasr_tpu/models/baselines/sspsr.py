@@ -11,8 +11,6 @@ overlap-average is a scatter-add — same pattern as models/gae.py.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

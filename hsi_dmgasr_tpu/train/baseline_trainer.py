@@ -10,8 +10,6 @@ the data mesh (supersedes the DDP boilerplate).
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

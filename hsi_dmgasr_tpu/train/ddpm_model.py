@@ -28,8 +28,6 @@ axis 0; XLA inserts the gradient all-reduce (no DataParallel/DDP).
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +36,7 @@ import optax
 
 from ..models.networks import define_G, diffusion_for_phase, init_weights
 from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
-from .state import TrainState, create_train_state
+from .state import create_train_state
 
 
 class DDPMModel:

@@ -8,7 +8,7 @@ is implemented for real behind ``ema_decay``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
