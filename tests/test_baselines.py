@@ -37,6 +37,27 @@ def test_sspsr(golden, x):
     assert m.apply(v, x, x).shape == (1, 32, 32, 31)
 
 
+def test_sspsr_forward_weight_parity():
+    """Converted reference SSPSR weights reproduce the torch forward."""
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "sspsr_forward_golden.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("sspsr forward golden not generated")
+    from hsi_dmgasr_tpu.io.convert_torch import state_dict_to_flax
+
+    g = np.load(path)
+    sd = {k.split("::", 1)[1]: g[k] for k in g.files if k.startswith("sd::")}
+    variables = state_dict_to_flax(sd)
+    m = SSPSR(n_subs=8, n_ovls=2, n_colors=31, n_blocks=3, n_feats=16,
+              n_scale=4)
+    xin = np.moveaxis(g["x"], 1, -1)
+    y = m.apply(variables, xin, xin)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), -1, 1), g["y"], atol=2e-5, rtol=1e-4
+    )
+
+
 def test_gelin(golden, x):
     lms = np.random.RandomState(1).rand(1, 32, 32, 31).astype(np.float32)
     m = GELIN(n_feats=16, n_colors=31, n_subs=8, n_ovls=2, blocks=2, scale=4)

@@ -40,12 +40,31 @@ def main():
     sys.path.insert(0, REF)
     sys.path.insert(0, os.path.join(REF, "GAE"))
 
+    import torch
+
+    # the reference model forwards hard-code .cuda(); make that a no-op
+    # so goldens can be generated on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.set_grad_enabled(False)
+    torch.manual_seed(0)
+
     payload = {}
 
     sspsr = load_module(os.path.join(REF, "SSPSR.py"), "ref_sspsr2")
     m = sspsr.SSPSR(n_subs=8, n_ovls=2, n_colors=31, n_blocks=3, n_feats=16,
                     n_scale=4, res_scale=0.1, use_share=True)
     payload["sspsr_params"] = count(m)
+
+    # weight-level forward golden (converter rules cover SSPSR's key names)
+    m.eval()
+    rng2 = np.random.RandomState(5)
+    xs = rng2.rand(1, 31, 8, 8).astype(np.float32)
+    ys = m(torch.from_numpy(xs), torch.from_numpy(xs))
+    np.savez_compressed(
+        os.path.join(OUT, "sspsr_forward_golden.npz"),
+        x=xs, y=ys.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
 
     gelin = load_module(os.path.join(REF, "GELIN.py"), "ref_gelin2")
     m = gelin.GELIN(n_feats=16, n_colors=31, kernel_size=3, pooling_r=4,
