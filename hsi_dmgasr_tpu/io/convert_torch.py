@@ -153,7 +153,30 @@ _RULES = [
     # Upsampler Sequential: convs sit at even indices (conv, shuffle, ...)
     (re.compile(r"\bupsample\.(\d+)\."),
      lambda m: f"upsample/conv_{int(m.group(1)) // 2}/"),
+    # --- GELIN (GELIN.py:100-276)
+    (re.compile(r"^branch\.body\.(\d+)\.body\.0\."), r"branch/body_\1/sc/"),
+    (re.compile(r"^branch\.body\.(\d+)\.body\.1\."), r"branch/body_\1/ca/"),
+    (re.compile(r"\bsc/f1\.0\."), "sc/f1/"),
+    (re.compile(r"\bsc/f2\.1\."), "sc/f2/"),
+    (re.compile(r"\bsc/f4\.0\."), "sc/f4/"),
+    (re.compile(r"\bca/body\.0\."), "ca/conv0/"),
+    (re.compile(r"\bca/body\.2\."), "ca/conv1/"),
+    (re.compile(r"\bca/conv_du\.1\."), "ca/du0/"),
+    (re.compile(r"\bca/conv_du\.3\."), "ca/du1/"),
+    (re.compile(r"\bTrunkUp\.0\."), "trunk_up/"),
+    (re.compile(r"\bTrunkUp\.1\."), "trunk_act/"),
+    (re.compile(r"\bMultiUp\.0\."), "multi0/"),
+    (re.compile(r"\bMultiUp\.1\."), "multi1/"),
+    (re.compile(r"\bMultiUp\.2\."), "multi_up/"),
+    (re.compile(r"\bMultiUp\.3\."), "multi_act/"),
+    (re.compile(r"\berror_resblock\.0\."), "error/"),
 ]
+
+# param names whose 4-D torch weights are ConvTranspose2d (IOHW), not
+# Conv2d (OIHW) — they need the (2,3,0,1) transpose to our (k,k,I,O)
+_DECONV_HINTS = ("trunk_up", "multi_up")
+# modules whose 1-D 'weight' is a PReLU slope, not a norm scale
+_PRELU_HINTS = ("trunk_act", "multi_act")
 
 
 def torch_key_to_flax_path(key):
@@ -199,12 +222,15 @@ def state_dict_to_flax(sd, transpose_conv=True):
         if has_bn:
             path = tuple("bn" if p == "gn" else p for p in path)
         arr = np.asarray(w)
+        is_deconv = any(h in path for h in _DECONV_HINTS)
+        is_prelu = any(h in path for h in _PRELU_HINTS)
         if path[-1] == "kernel" and arr.ndim == 4 and transpose_conv:
-            arr = arr.transpose(2, 3, 1, 0)
+            # Conv2d OIHW -> HWIO; ConvTranspose2d is IOHW -> (k,k,I,O)
+            arr = arr.transpose(2, 3, 0, 1) if is_deconv else arr.transpose(2, 3, 1, 0)
         elif path[-1] == "kernel" and arr.ndim == 2:
             arr = arr.T
         elif path[-1] == "kernel" and arr.ndim == 1:
-            path = path[:-1] + ("scale",)
+            path = path[:-1] + (("alpha" if is_prelu else "scale"),)
         if path[-1] in ("running_mean", "running_var"):
             stat = "mean" if path[-1] == "running_mean" else "var"
             flat_stats[path[:-1] + (stat,)] = arr

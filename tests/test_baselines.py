@@ -66,6 +66,28 @@ def test_gelin(golden, x):
     assert m.apply(v, x, lms).shape == (1, 32, 32, 31)
 
 
+def test_gelin_forward_weight_parity():
+    """Converted reference GELIN weights (incl. deconv IOHW layout and
+    PReLU alphas) reproduce the torch forward."""
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "gelin_forward_golden.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("gelin forward golden not generated")
+    from hsi_dmgasr_tpu.io.convert_torch import state_dict_to_flax
+
+    g = np.load(path)
+    sd = {k.split("::", 1)[1]: g[k] for k in g.files if k.startswith("sd::")}
+    variables = state_dict_to_flax(sd)
+    m = GELIN(n_feats=16, n_colors=31, n_subs=8, n_ovls=2, blocks=2, scale=4)
+    xin = np.moveaxis(g["x"], 1, -1)
+    lms = np.moveaxis(g["lms"], 1, -1)
+    y = m.apply(variables, xin, lms)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), -1, 1), g["y"], atol=2e-5, rtol=1e-4
+    )
+
+
 def test_mcnet(golden, x):
     m = MCNet(scale=4, n_colors=31, n_feats=8)
     v = m.init(jax.random.PRNGKey(0), x)
