@@ -172,25 +172,62 @@ _RULES = [
     (re.compile(r"\berror_resblock\.0\."), "error/"),
 ]
 
-# param names whose 4-D torch weights are ConvTranspose2d (IOHW), not
-# Conv2d (OIHW) — they need the (2,3,0,1) transpose to our (k,k,I,O)
-_DECONV_HINTS = ("trunk_up", "multi_up")
+# model-scoped rule groups, applied BEFORE the common rules when
+# state_dict_to_flax(..., model=<name>) is given — avoids cross-model
+# collisions on generic names like 'tail.1'.
+_MODEL_RULES = {
+    # EDSR (GAE/EDSR.py:54-104)
+    "edsr": [
+        (re.compile(r"^head\.0\."), "head/"),
+        (re.compile(r"^body\.(\d+)\.body\.0\."), r"body_\1/conv0/"),
+        (re.compile(r"^body\.(\d+)\.body\.2\."), r"body_\1/conv1/"),
+        (re.compile(r"^body\.(\d+)\.(weight|bias)$"), r"body_tail/\2"),
+        (re.compile(r"^tail\.0\.0\."), "upsample/conv_0/"),
+        (re.compile(r"^tail\.1\."), "tail/"),
+    ],
+    # MCNet (GAE/MCNet.py): weight-normed convs + module renames
+    "mcnet": [
+        (re.compile(r"^SSRM(\d)\."), lambda m: f"ssrm_{int(m.group(1)) - 1}/"),
+        (re.compile(r"\bBlock(\d)\.(\d+)\.conv\.(\d+)\.conv\."),
+         lambda m: f"block{m.group(1)}_{m.group(2)}/c{m.group(3)}/"),
+        (re.compile(r"\bConv\.conv\.(\d+)\.conv\."),
+         lambda m: f"conv_out/c{m.group(1)}/"),
+        (re.compile(r"\breduceF\.conv\."), "reduceF/"),
+        (re.compile(r"\bconv([123])\.0\."), r"conv\1/c0/"),
+        (re.compile(r"\bconv([123])\.2\."), r"conv\1/c1/"),
+        (re.compile(r"^tail\.0\."), "tail_up/"),
+        (re.compile(r"^tail\.1\."), "tail_conv/"),
+    ],
+}
+
+# param names whose torch weights are ConvTranspose (IO-spatial), not
+# Conv (OI-spatial) — they need the input/output axes swapped
+_DECONV_HINTS = ("trunk_up", "multi_up", "tail_up")
 # modules whose 1-D 'weight' is a PReLU slope, not a norm scale
 _PRELU_HINTS = ("trunk_act", "multi_act")
 
 
-def torch_key_to_flax_path(key):
+def torch_key_to_flax_path(key, model=None):
     """Translate one torch state_dict key into a flax param path tuple.
 
     e.g. ``Encoder.branch.body.net.0.spa.body.0.weight`` ->
     ``('encoder','branch','body','net_0','spa','conv0','kernel')``
+
+    ``model`` selects an extra model-scoped rule group (_MODEL_RULES).
     """
     k = key
+    for pat, rep in _MODEL_RULES.get(model, []):
+        k = pat.sub(rep, k)
     for pat, rep in _RULES:
         k = pat.sub(rep, k)
     k = k.replace(".", "/")
     parts = k.split("/")
-    if parts[-1] == "weight":
+    # torch weight_norm: weight_g / weight_v -> kernel_g / kernel_v
+    if parts[-1] == "weight_g":
+        parts[-1] = "kernel_g"
+    elif parts[-1] == "weight_v":
+        parts[-1] = "kernel_v"
+    elif parts[-1] == "weight":
         parts[-1] = "kernel"
     return tuple(parts)
 
@@ -205,11 +242,13 @@ def _nest(flat):
     return tree
 
 
-def state_dict_to_flax(sd, transpose_conv=True):
+def state_dict_to_flax(sd, transpose_conv=True, model=None):
     """Generic torch state_dict -> flax variable collections.
 
-    Conv weights (4-D OIHW) become HWIO kernels; 2-D linear weights
-    become (in, out); 1-D 'weight's on norm layers become 'scale'.
+    Conv weights (4-D OIHW / 5-D OIDHW) become HWIO / DHWIO kernels;
+    transposed convs get the I/O swap; weight-norm g/v pairs map to
+    kernel_g (flattened to (O,)) / kernel_v; 2-D linear weights become
+    (in, out); 1-D 'weight's become norm 'scale's or PReLU 'alpha's.
     BatchNorm running stats land in the 'batch_stats' collection.
     Returns {'params': tree[, 'batch_stats': tree]}.
     """
@@ -218,18 +257,26 @@ def state_dict_to_flax(sd, transpose_conv=True):
     for key, w in sd.items():
         if key.endswith("num_batches_tracked"):
             continue
-        path = torch_key_to_flax_path(key)
+        path = torch_key_to_flax_path(key, model=model)
         if has_bn:
             path = tuple("bn" if p == "gn" else p for p in path)
         arr = np.asarray(w)
         is_deconv = any(h in path for h in _DECONV_HINTS)
         is_prelu = any(h in path for h in _PRELU_HINTS)
-        if path[-1] == "kernel" and arr.ndim == 4 and transpose_conv:
-            # Conv2d OIHW -> HWIO; ConvTranspose2d is IOHW -> (k,k,I,O)
-            arr = arr.transpose(2, 3, 0, 1) if is_deconv else arr.transpose(2, 3, 1, 0)
-        elif path[-1] == "kernel" and arr.ndim == 2:
+        leaf = path[-1]
+        if leaf == "kernel_g":
+            arr = arr.reshape(-1)  # (O,1,1,..) -> (O,)
+        elif leaf in ("kernel", "kernel_v") and arr.ndim == 5 and transpose_conv:
+            # Conv3d OIDHW -> DHWIO; ConvTranspose3d IODHW -> (kd,kh,kw,I,O)
+            arr = (arr.transpose(2, 3, 4, 0, 1) if is_deconv
+                   else arr.transpose(2, 3, 4, 1, 0))
+        elif leaf in ("kernel", "kernel_v") and arr.ndim == 4 and transpose_conv:
+            # Conv2d OIHW -> HWIO; ConvTranspose2d IOHW -> (k,k,I,O)
+            arr = (arr.transpose(2, 3, 0, 1) if is_deconv
+                   else arr.transpose(2, 3, 1, 0))
+        elif leaf == "kernel" and arr.ndim == 2:
             arr = arr.T
-        elif path[-1] == "kernel" and arr.ndim == 1:
+        elif leaf == "kernel" and arr.ndim == 1:
             path = path[:-1] + (("alpha" if is_prelu else "scale"),)
         if path[-1] in ("running_mean", "running_var"):
             stat = "mean" if path[-1] == "running_mean" else "var"

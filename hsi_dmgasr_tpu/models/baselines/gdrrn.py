@@ -45,17 +45,26 @@ class GDRNN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        residual = x
         conv_in = GroupedConv(self.num_chnl, 1, name="input")
         conv1 = GroupedConv(self.num_chnl, self.group, name="conv1")
         conv2 = GroupedConv(self.num_chnl, self.group, name="conv2")
         conv_out = GroupedConv(self.input_chnl_hsi, 1, name="output")
 
-        inputs = conv_in(nn.relu(x))
+        # the reference uses nn.ReLU(inplace=True), so its in-place relus
+        # ALIAS earlier tensors (GAE/models_GDRRN.py:186-201):
+        #   * `residual = x` is mutated to relu(x) by the first relu;
+        #   * `inputs` aliases `out` in recursion 0, so the skip source
+        #     becomes relu(inputs) from then on.
+        # Replicated functionally:
+        xr = nn.relu(x)
+        residual = xr
+        inputs = conv_in(xr)
         out = inputs
-        for _ in range(self.recursions):
-            out = conv1(nn.relu(out))
-            out = conv2(nn.relu(out))
+        for i in range(self.recursions):
+            r = nn.relu(out)
+            if i == 0:
+                inputs = r
+            out = conv2(nn.relu(conv1(r)))
             out = out + inputs
         out = conv_out(nn.relu(out))
         return out + residual

@@ -133,11 +133,13 @@ def make_torch_bicubic_jax(in_hw, out_hw, align_corners=False):
 # 3-D convs (MCNet): NDHWC layout, optional weight normalization
 
 
-def _wn_kernel(module, name, shape, fan_in):
+def _wn_kernel(module, name, shape, fan_in, norm_axis=-1):
     """Weight-normalized kernel params: v (direction) + g (magnitude),
-    matching torch.nn.utils.weight_norm over dim 0 (output channels).
+    matching torch.nn.utils.weight_norm over dim 0.
 
-    HWIO/DHWIO layout puts O last, so norms reduce over all axes but -1.
+    torch's dim 0 is the OUTPUT channel for Conv (our last axis) but the
+    INPUT channel for ConvTranspose (our -2 axis) — ``norm_axis`` selects
+    which axis the per-channel norms are kept over.
     """
     bound = 1.0 / math.sqrt(fan_in)
     v = module.param(
@@ -145,13 +147,14 @@ def _wn_kernel(module, name, shape, fan_in):
         lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
         shape,
     )
-    axes = tuple(range(len(shape) - 1))
-    init_norm = lambda key, s: jnp.linalg.norm(
-        v.reshape(-1, shape[-1]), axis=0
-    )
-    g = module.param(f"{name}_g", init_norm, (shape[-1],))
+    norm_axis = norm_axis % len(shape)
+    axes = tuple(a for a in range(len(shape)) if a != norm_axis)
+    init_norm = lambda key, s: jnp.sqrt(jnp.sum(v * v, axis=axes))
+    g = module.param(f"{name}_g", init_norm, (shape[norm_axis],))
     norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
-    return v / norm * g
+    g_shape = [1] * len(shape)
+    g_shape[norm_axis] = shape[norm_axis]
+    return v / norm * g.reshape(g_shape)
 
 
 class Conv3d(nn.Module):
@@ -214,7 +217,8 @@ class Deconv3d(nn.Module):
         fan_in = self.features * int(np.prod(ks))
         shape = ks + (in_ch, self.features)
         if self.weight_norm:
-            kernel = _wn_kernel(self, "kernel", shape, fan_in)
+            # torch weight_norm dim 0 == INPUT channels for ConvTranspose
+            kernel = _wn_kernel(self, "kernel", shape, fan_in, norm_axis=-2)
         else:
             bound = 1.0 / math.sqrt(fan_in)
             kernel = self.param(

@@ -107,3 +107,38 @@ def test_gdrrn(golden, x):
     v = m.init(jax.random.PRNGKey(0), x)
     assert _n(v) == int(golden["gdrrn_params"])
     assert m.apply(v, x).shape == (1, 8, 8, 31)
+
+
+def _forward_parity(name, model, model_hint, atol=2e-5):
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", f"{name}_forward_golden.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip(f"{name} forward golden not generated")
+    from hsi_dmgasr_tpu.io.convert_torch import state_dict_to_flax
+
+    g = np.load(path)
+    sd = {k.split("::", 1)[1]: g[k] for k in g.files if k.startswith("sd::")}
+    variables = state_dict_to_flax(sd, model=model_hint)
+    xin = np.moveaxis(g["x"], 1, -1)
+    y = model.apply(variables, xin)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), -1, 1), g["y"], atol=atol, rtol=1e-4
+    )
+
+
+def test_edsr_forward_weight_parity():
+    _forward_parity("edsr", EDSR(n_resblocks=2, n_feats=16, n_colors=31),
+                    "edsr")
+
+
+def test_gdrrn_forward_weight_parity():
+    """Covers the reference's inplace-relu aliasing semantics."""
+    _forward_parity("gdrrn", GDRNN(input_chnl_hsi=31, group=4), None,
+                    atol=5e-5)
+
+
+def test_mcnet_forward_weight_parity():
+    """Covers weight-norm g/v conversion incl. the ConvTranspose3d
+    input-channel norm axis."""
+    _forward_parity("mcnet", MCNet(scale=4, n_colors=31, n_feats=8), "mcnet")
