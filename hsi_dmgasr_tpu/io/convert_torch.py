@@ -198,13 +198,36 @@ _MODEL_RULES = {
         (re.compile(r"^tail\.0\."), "tail_up/"),
         (re.compile(r"^tail\.1\."), "tail_conv/"),
     ],
+    # CEGATSR (GAE/CEGATSR.py)
+    "cegatsr": [
+        (re.compile(r"^branch\.head\.head\.head\."), "branch/head/head/"),
+        (re.compile(r"^branch\.head\.last\.last\."), "branch/head/last/"),
+        (re.compile(r"^branch\.head\.body\."), "branch/head/body/"),
+        (re.compile(r"\bdepth_conv\.weight$"), "depth_kernel"),
+        (re.compile(r"\bdepth_conv\.bias$"), "depth_bias"),
+        (re.compile(r"^trunk\.head\."), "trunk_head/"),
+        (re.compile(r"^trunk\.body\."), "trunk_body/"),
+        (re.compile(r"^trunk\.upsample\.(\d+)\."),
+         lambda m: f"trunk_up/conv_{int(m.group(1)) // 2}/"),
+    ],
 }
 
-# param names whose torch weights are ConvTranspose (IO-spatial), not
-# Conv (OI-spatial) — they need the input/output axes swapped
-_DECONV_HINTS = ("trunk_up", "multi_up", "tail_up")
+# param names (or contiguous sub-paths) whose torch weights are
+# ConvTranspose (IO-spatial), not Conv (OI-spatial) — they need the
+# input/output axes swapped
+_DECONV_HINTS = (("branch_up", "trunk_up"), ("branch_up", "multi_up"),
+                 "tail_up", ("head", "last"))
+
+
+def _path_hit(path, hint):
+    if isinstance(hint, str):
+        return hint in path
+    n = len(hint)
+    return any(tuple(path[i:i + n]) == hint for i in range(len(path) - n + 1))
 # modules whose 1-D 'weight' is a PReLU slope, not a norm scale
 _PRELU_HINTS = ("trunk_act", "multi_act")
+# torch keys to drop entirely (declared-but-unused reference modules)
+_DROP_KEYS = (re.compile(r"\bBN\.(weight|bias|running_mean|running_var|num_batches_tracked)$"),)
 
 
 def torch_key_to_flax_path(key, model=None):
@@ -252,19 +275,26 @@ def state_dict_to_flax(sd, transpose_conv=True, model=None):
     BatchNorm running stats land in the 'batch_stats' collection.
     Returns {'params': tree[, 'batch_stats': tree]}.
     """
-    has_bn = any(k.endswith("running_mean") for k in sd)
+    has_bn = any(
+        k.endswith("running_mean") and not any(p.search(k) for p in _DROP_KEYS)
+        for k in sd
+    )
     flat_params, flat_stats = {}, {}
     for key, w in sd.items():
         if key.endswith("num_batches_tracked"):
+            continue
+        if any(p.search(key) for p in _DROP_KEYS):
             continue
         path = torch_key_to_flax_path(key, model=model)
         if has_bn:
             path = tuple("bn" if p == "gn" else p for p in path)
         arr = np.asarray(w)
-        is_deconv = any(h in path for h in _DECONV_HINTS)
-        is_prelu = any(h in path for h in _PRELU_HINTS)
+        is_deconv = any(_path_hit(path, h) for h in _DECONV_HINTS)
+        is_prelu = any(_path_hit(path, h) for h in _PRELU_HINTS)
         leaf = path[-1]
-        if leaf == "kernel_g":
+        if leaf == "depth_kernel" and arr.ndim == 4 and transpose_conv:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif leaf == "kernel_g":
             arr = arr.reshape(-1)  # (O,1,1,..) -> (O,)
         elif leaf in ("kernel", "kernel_v") and arr.ndim == 5 and transpose_conv:
             # Conv3d OIDHW -> DHWIO; ConvTranspose3d IODHW -> (kd,kh,kw,I,O)

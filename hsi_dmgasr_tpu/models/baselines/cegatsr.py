@@ -190,9 +190,11 @@ class CEGATSR(nn.Module):
             self.n_subs, self.out_feats, up_scale=self.sca, name="branch"
         )
         self.trunk_head = Conv2d(self.out_feats, 3, name="trunk_head")
+        # CEGATSR's own attention block uses CALayer reduction 16
+        # (CEGATSR.py:199), unlike the SSPSR family's 3
         self.trunk_body = SSPN(
             self.out_feats, self.n_blocks, nn.relu, self.res_scale,
-            name="trunk_body",
+            ca_reduction=16, name="trunk_body",
         )
         self.trunk_up = Upsampler(2, self.out_feats, name="trunk_up")
         self.skip_conv = Conv2d(self.out_feats, 3, name="skip_conv")

@@ -171,19 +171,21 @@ class ResBlock(nn.Module):
 
 
 class ResAttentionBlock(nn.Module):
-    """ResBlock + channel-attention tail (common.py:76-97, CALayer reduction=3)."""
+    """ResBlock + channel-attention tail (common.py:76-97; the SSPSR
+    family uses CALayer reduction=3, CEGATSR's variant uses 16)."""
 
     n_feats: int
     kernel_size: int = 3
     act: Callable = nn.relu
     res_scale: float = 1.0
+    ca_reduction: int = 3
 
     @nn.compact
     def __call__(self, x):
         res = Conv2d(self.n_feats, self.kernel_size, name="conv0")(x)
         res = self.act(res)
         res = Conv2d(self.n_feats, self.kernel_size, name="conv1")(res)
-        res = CALayer(self.n_feats, reduction=3, name="ca")(res)
+        res = CALayer(self.n_feats, reduction=self.ca_reduction, name="ca")(res)
         return res * self.res_scale + x
 
 
@@ -195,11 +197,13 @@ class SSB(nn.Module):
     kernel_size: int = 3
     act: Callable = leaky_relu
     res_scale: float = 0.1
+    ca_reduction: int = 3
 
     @nn.compact
     def __call__(self, x):
         x = ResBlock(self.n_feats, self.kernel_size, self.act, self.res_scale, name="spa")(x)
-        x = ResAttentionBlock(self.n_feats, 1, self.act, self.res_scale, name="spc")(x)
+        x = ResAttentionBlock(self.n_feats, 1, self.act, self.res_scale,
+                              ca_reduction=self.ca_reduction, name="spc")(x)
         return x
 
 
@@ -210,12 +214,14 @@ class SSPN(nn.Module):
     n_blocks: int
     act: Callable = leaky_relu
     res_scale: float = 0.1
+    ca_reduction: int = 3
 
     @nn.compact
     def __call__(self, x):
         res = x
         for i in range(self.n_blocks):
-            res = SSB(self.n_feats, 3, self.act, self.res_scale, name=f"net_{i}")(res)
+            res = SSB(self.n_feats, 3, self.act, self.res_scale,
+                      ca_reduction=self.ca_reduction, name=f"net_{i}")(res)
         return res + x
 
 

@@ -142,3 +142,28 @@ def test_mcnet_forward_weight_parity():
     """Covers weight-norm g/v conversion incl. the ConvTranspose3d
     input-channel norm axis."""
     _forward_parity("mcnet", MCNet(scale=4, n_colors=31, n_feats=8), "mcnet")
+
+
+def test_cegatsr_forward_weight_parity():
+    """Covers the on-device kNN adjacency matching scipy cdist ranks,
+    GAT conversion, and depthwise-conv layout."""
+    from hsi_dmgasr_tpu.models.baselines import CEGATSR
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "cegatsr_forward_golden.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("cegatsr forward golden not generated")
+    from hsi_dmgasr_tpu.io.convert_torch import state_dict_to_flax
+
+    g = np.load(path)
+    sd = {k.split("::", 1)[1]: g[k] for k in g.files if k.startswith("sd::")}
+    variables = state_dict_to_flax(sd, model="cegatsr")
+    m = CEGATSR(n_subs=8, n_ovls=2, in_feats=31, n_blocks=1, out_feats=16,
+                n_scale=4)
+    xin = np.moveaxis(g["x"], 1, -1)
+    lms = np.moveaxis(g["lms"], 1, -1)
+    y = m.apply(variables, xin, lms)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), -1, 1), g["y"], atol=2e-5, rtol=1e-4
+    )
