@@ -160,6 +160,11 @@ def main():
         times.append(time.time() - t0)
     secs = float(np.median(times))
 
+    # BASELINE.json metric axes: denoise steps/sec/chip + cubes/min
+    from hsi_dmgasr_tpu.models.gae import group_indices
+
+    n_groups = group_indices(channels, 16 if not args.small else 8,
+                             4 if not args.small else 2).shape[0]
     info = {
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 2),
@@ -169,6 +174,10 @@ def main():
         "gae_ckpt": gae_loaded,
         "size": size,
         "channels": channels,
+        "denoise_steps_per_sec_per_chip": round(
+            args.timesteps * n_groups / secs, 2
+        ),
+        "cubes_per_min": round(60.0 / secs, 2),
     }
     print(json.dumps(info), file=sys.stderr)
     print(json.dumps({

@@ -1,0 +1,69 @@
+"""Stage-2 driver e2e: the sr_gae train loop on synthetic data with a
+converted GAE checkpoint (when available), miniature diffusion config."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GAE_CKPT = os.environ.get(
+    "GAE_PRETRAINED", "/root/reference/GAE_pretrained/GAE_4_Cav.pth"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(GAE_CKPT),
+                    reason="reference GAE checkpoint unavailable")
+def test_sr_gae_train_loop_end_to_end(synth_data, tmp_path):
+    from hsi_dmgasr_tpu import config as C
+    from hsi_dmgasr_tpu.train import stage2_driver
+
+    cfg = {
+        "name": "drv",
+        "gpu_ids": [0],
+        "scale": 2,
+        "path": {"log": "logs", "results": "results",
+                 "checkpoint": "checkpoint", "tb_logger": "tb"},
+        "gae": {"checkpoint": GAE_CKPT},
+        "datasets": {
+            "train": {"dataroot": os.path.join(synth_data, "mat_scenes"),
+                      "datatype": "hsi_mat", "l_resolution": 16,
+                      "batch_size": 2, "use_shuffle": True, "data_len": 4},
+            "val": {"dataroot": os.path.join(synth_data, "npy_scenes"),
+                    "datatype": "hsi_npy", "r_resolution": 32, "data_len": 1},
+        },
+        "model": {
+            "which_model_G": "sr3",
+            "finetune_norm": False,
+            "unet": {"in_channel": 6, "out_channel": 3, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1, 2],
+                     "attn_res": [8], "res_blocks": 1, "dropout": 0.0},
+            "beta_schedule": {
+                "train": {"schedule": "cosine", "n_timestep": 3,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "cosine", "n_timestep": 3,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 32, "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": 2, "val_freq": 2, "save_checkpoint_freq": 2,
+                  "print_freq": 1, "optimizer": {"type": "adam", "lr": 1e-4}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    opt = C.parse(str(cfg_path), phase="train",
+                  experiments_root=str(tmp_path / "exp"))
+
+    pipeline, results = stage2_driver.train(opt, seed=0)
+    assert results, "validation should have run at val_freq"
+    for k in ["MPSNR", "MSSIM", "SAM"]:
+        assert np.isfinite(results["indices"][k])
+        assert np.isfinite(results["indices_cc"][k])
+    # artifacts: checkpoint + result images/npy
+    ckpts = os.listdir(opt["path"]["checkpoint"])
+    assert any(c.startswith("I2_E") for c in ckpts)
+    result_files = []
+    for root, _, files in os.walk(opt["path"]["results"]):
+        result_files += files
+    assert any(f.endswith("_sr.npy") for f in result_files)
+    assert any(f.endswith("_err.png") for f in result_files)
