@@ -182,6 +182,31 @@ class ResBlockDAQ(nn.Module):
         return res * self.res_scale + x
 
 
+class SSBDAQ(nn.Module):
+    """Quantized spatial-spectral block (AE.py:111-118 SSB_DAQ) — the
+    commented-in alternative for SSPN (AE.py:127-132, the 'GAEDAQ'
+    experiments)."""
+
+    n_feats: int
+    a_bit: int = 4
+    w_bit: int = 4
+    qq_bit: int = 32
+    finetune: bool = False
+    res_scale: float = 0.1
+    act: any = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResBlockDAQ(
+            self.n_feats, 3, self.a_bit, self.w_bit, self.qq_bit,
+            self.finetune, self.res_scale, self.act, name="spa",
+        )(x)
+        return ResAttentionBlockDAQ(
+            self.n_feats, 1, self.a_bit, self.w_bit, self.qq_bit,
+            self.finetune, self.res_scale, self.act, name="spc",
+        )(x)
+
+
 class ResAttentionBlockDAQ(nn.Module):
     """DAQ residual attention block (common.py:308-342)."""
 
