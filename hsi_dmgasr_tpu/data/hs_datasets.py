@@ -27,7 +27,7 @@ def _minmax(img):
 
 class HSTrainingData:
     def __init__(self, image_dir, n_scale, num_ch=None, augment=None,
-                 ch3=False, base_size=32, rng=None):
+                 ch3=False, base_size=32, rng=None, cache_scenes=True):
         self.image_files = sorted(
             os.path.join(image_dir, x) for x in os.listdir(image_dir)
         )
@@ -38,6 +38,9 @@ class HSTrainingData:
         self.base_size = base_size
         self.factor = 8 if augment else 1
         self.rng = rng if rng is not None else np.random.RandomState()
+        # the reference re-reads + re-normalizes the full .mat scene on
+        # EVERY item (HStrain.py:35-54); cache the normalized scenes once
+        self._cache = {} if cache_scenes else None
 
     def __len__(self):
         return len(self.image_files) * self.factor
@@ -50,12 +53,20 @@ class HSTrainingData:
         data = sio.loadmat(path, verify_compressed_data_integrity=False)
         return np.asarray(data["block"], dtype=np.float32)
 
+    def _scene(self, file_index):
+        if self._cache is not None and file_index in self._cache:
+            return self._cache[file_index]
+        img = _minmax(self._load(self.image_files[file_index]))
+        if self._cache is not None:
+            self._cache[file_index] = img
+        return img
+
     def __getitem__(self, index):
         file_index, aug_num = index, 0
         if self.augment:
             file_index = index // self.factor
             aug_num = int(index % self.factor)
-        img = _minmax(self._load(self.image_files[file_index]))
+        img = self._scene(file_index)
 
         height, width, _ = img.shape
         gt_size = self.base_size * self.n_scale
