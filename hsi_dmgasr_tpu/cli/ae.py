@@ -44,7 +44,7 @@ def main(argv=None):
     if args.datatype == "mat_pairs":
         ds = TrainsetFromFolder(args.data, scale=args.scale)
     else:
-        ds = HSTrainingData(args.data, n_scale=args.scale, augment=True)
+        ds = HSTrainingData(args.data, n_scale=args.scale, augment=True, hr_only=True)
     loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
                         seed=args.seed)
 

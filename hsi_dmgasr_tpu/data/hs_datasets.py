@@ -27,7 +27,11 @@ def _minmax(img):
 
 class HSTrainingData:
     def __init__(self, image_dir, n_scale, num_ch=None, augment=None,
-                 ch3=False, base_size=32, rng=None, cache_scenes=True):
+                 ch3=False, base_size=32, rng=None, cache_scenes=True,
+                 hr_only=False):
+        # hr_only skips the bicubic degradation entirely — stage-1 GAE
+        # training consumes only the HR crop (AE.py:582-597)
+        self.hr_only = hr_only
         self.image_files = sorted(
             os.path.join(image_dir, x) for x in os.listdir(image_dir)
         )
@@ -73,6 +77,10 @@ class HSTrainingData:
         row = self.rng.randint(0, height - gt_size + 1)
         col = self.rng.randint(0, width - gt_size + 1)
         gt = img[row:row + gt_size, col:col + gt_size, :]
+
+        if self.hr_only:
+            gt = data_augmentation(gt, mode=aug_num)
+            return {"HR": np.ascontiguousarray(gt, dtype=np.float32)}
 
         ms = imresize(gt, output_shape=(self.base_size, self.base_size))
         lms = imresize(ms, output_shape=(gt_size, gt_size))

@@ -34,13 +34,28 @@ def _collate(items):
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 seed=0, prefetch=2):
+                 seed=0, prefetch=2, num_workers=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _fetch(self, batch_idx):
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            items = list(self._pool.map(
+                lambda i: self.dataset[int(i)], batch_idx
+            ))
+        else:
+            items = [self.dataset[int(i)] for i in batch_idx]
+        return _collate(items)
 
     def __len__(self):
         n = len(self.dataset)
@@ -60,7 +75,7 @@ class DataLoader:
     def __iter__(self):
         if self.prefetch <= 0:
             for batch_idx in self._index_batches():
-                yield _collate([self.dataset[int(i)] for i in batch_idx])
+                yield self._fetch(batch_idx)
             return
 
         q = queue.Queue(maxsize=self.prefetch)
@@ -69,7 +84,7 @@ class DataLoader:
         def producer():
             try:
                 for batch_idx in self._index_batches():
-                    q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
+                    q.put(self._fetch(batch_idx))
             finally:
                 q.put(sentinel)
 

@@ -38,7 +38,7 @@ def spatial_attention(q, k, v, scale, force_pallas=False):
     use_pallas = force_pallas or (
         s >= _PALLAS_MIN_TOKENS
         and jax.default_backend() == "tpu"
-        and d % 8 == 0
+        and d % 128 == 0
     )
     if use_pallas:
         from .flash_attention import flash_attention
