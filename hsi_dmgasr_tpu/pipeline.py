@@ -79,6 +79,37 @@ class DMGASRPipeline:
 
     # ------------------------------------------------------------- train
 
+    def _degrade_fn(self, hw, scale):
+        """On-device MATLAB-bicubic degradation HR -> bicubic-up(LR).
+
+        Replaces the host-side per-item imresize pair (HStrain.py:61-63)
+        with two MXU matmuls inside the jitted step — the training input
+        pipeline then only ships HR crops.
+        """
+        ck = (hw, scale)
+        if not hasattr(self, "_degrade_cache"):
+            self._degrade_cache = {}
+        if ck not in self._degrade_cache:
+            from .data.imresize import make_imresize_jax
+
+            down = make_imresize_jax(hw, output_shape=(hw[0] // scale,
+                                                       hw[1] // scale))
+            up = make_imresize_jax((hw[0] // scale, hw[1] // scale),
+                                   output_shape=hw)
+
+            def f(hr):
+                return jnp.clip(up(jnp.clip(down(hr), 0.0, 1.0)), 0.0, 1.0)
+
+            self._degrade_cache[ck] = jax.jit(f)
+        return self._degrade_cache[ck]
+
+    def train_step_from_hr(self, hr, scale=4, key=None, per_group=False):
+        """Training step from HR crops only; SR derived on device."""
+        hr = jnp.asarray(hr)
+        sr = self._degrade_fn((hr.shape[1], hr.shape[2]), scale)(hr)
+        return self.train_step({"HR": hr, "SR": sr}, key=key,
+                               per_group=per_group)
+
     def train_step(self, batch, key=None, per_group=False):
         """One diffusion update from a cube batch {'HR','SR'} (NHWC)."""
         z_hr = self.encode(batch["HR"])

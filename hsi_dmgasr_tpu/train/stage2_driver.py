@@ -63,6 +63,7 @@ def build_dataset(ds_opt, phase, n_scale=4):
                 root, n_scale=ds_opt.get("n_scale") or n_scale,
                 augment=bool(ds_opt.get("augment", True)),
                 base_size=ds_opt.get("l_resolution") or 32,
+                hr_only=bool(ds_opt.get("on_device_degradation")),
             )
         return HSTestData(
             root, n_scale=ds_opt.get("n_scale") or n_scale,
@@ -182,6 +183,7 @@ def train(opt, seed=0, max_steps=None):
     save_freq = opt["train"]["save_checkpoint_freq"]
     per_group = bool(opt["train"].get("per_group_steps"))
 
+    on_device_degr = bool(train_opt.get("on_device_degradation"))
     current_step, current_epoch = 0, 0
     results = {}
     while current_step < n_iter:
@@ -190,9 +192,15 @@ def train(opt, seed=0, max_steps=None):
             current_step += 1
             if current_step > n_iter:
                 break
-            loss = pipeline.train_step(
-                {"HR": batch["HR"], "SR": batch["SR"]}, per_group=per_group
-            )
+            if on_device_degr:
+                loss = pipeline.train_step_from_hr(
+                    batch["HR"], scale=scale, per_group=per_group
+                )
+            else:
+                loss = pipeline.train_step(
+                    {"HR": batch["HR"], "SR": batch["SR"]},
+                    per_group=per_group,
+                )
             if current_step % print_freq == 0:
                 logger.info(
                     "<epoch:%3d, iter:%8d> l_pix: %.4e",
