@@ -116,12 +116,14 @@ class DMGASRPipeline:
         z_sr = self.encode(batch["SR"])
         if per_group:
             # reference dynamics: one optimizer step per band group
-            # (sr_gae.py:245-250)
+            # (sr_gae.py:245-250); each step draws fresh RNG
+            keys = (jax.random.split(key, self.G) if key is not None
+                    else [None] * self.G)
             losses = []
             for g in range(self.G):
                 losses.append(
                     self.ddpm.train_step(
-                        {"HR": z_hr[:, g], "SR": z_sr[:, g]}, key
+                        {"HR": z_hr[:, g], "SR": z_sr[:, g]}, keys[g]
                     )
                 )
             return jnp.mean(jnp.stack(losses))
