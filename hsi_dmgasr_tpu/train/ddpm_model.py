@@ -213,6 +213,13 @@ class DDPMModel:
 
     def sample(self, batch_size=1, key=None):
         """Unconditional generation (model/model.py:72-79)."""
+        if self.opt["model"]["diffusion"].get("conditional", True):
+            raise ValueError(
+                "sample() needs an unconditional config "
+                "(model.diffusion.conditional=false, unet.in_channel == "
+                "diffusion.channels); this config is conditional — use "
+                "super_resolution() instead"
+            )
         if key is None:
             self._key, key = jax.random.split(self._key)
         shape = (batch_size, self.image_size, self.image_size, self.channels)
