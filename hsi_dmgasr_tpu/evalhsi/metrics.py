@@ -94,7 +94,13 @@ def compare_mssim(x_true, x_pred, data_range):
 
 
 def compare_sam(x_true, x_pred):
-    """Mean spectral angle in degrees over pixels with nonzero norms."""
+    """Mean spectral angle in degrees over pixels with nonzero norms.
+
+    Deviation from eval_hsi.py:47-65: the cosine is clipped to [-1, 1].
+    The reference feeds arccos raw f32 ratios, which exceed 1 by roundoff
+    for near-identical spectra and nan-poison the mean; clipping only
+    touches those roundoff values (|cos|-1 ~ 1e-7), never real angles.
+    """
     xt = x_true.astype(np.float32)
     xp = x_pred.astype(np.float32)
     nt = np.linalg.norm(xt, axis=2)
@@ -102,7 +108,7 @@ def compare_sam(x_true, x_pred):
     valid = (nt != 0) & (npred != 0)
     inner = np.sum(xt * xp, axis=2)
     # restrict to valid pixels; reference loops and skips zero-norm pixels
-    cos = inner[valid] / (nt[valid] * npred[valid])
+    cos = np.clip(inner[valid] / (nt[valid] * npred[valid]), -1.0, 1.0)
     ang = np.arccos(cos)
     return float(np.mean(ang) * 180.0 / np.pi)
 

@@ -54,13 +54,14 @@ def test_extra_metrics_sane(cubes):
 
 
 def test_near_identity_is_near_perfect(cubes):
-    """Note: exact identity makes host SAM nan (arccos of a cos that
-    rounds above 1) — faithful to the reference's unclipped formula
-    (eval_hsi.py:61-62); test near-identity instead."""
+    """The host SAM clips the arccos domain (the reference's unclipped
+    formula nan-poisons on near-identical spectra), so near-identity
+    must yield near-zero angle."""
     gt, _ = cubes
-    pred = np.clip(gt + 1e-4, 0, 1).astype(np.float32)
+    rng = np.random.RandomState(0)
+    pred = np.clip(gt + 1e-3 * rng.rand(*gt.shape), 0, 1).astype(np.float32)
     m = quality_assessment(gt, pred, data_range=1.0, ratio=4)
     assert m["MSSIM"] == pytest.approx(1.0, abs=1e-3)
-    assert m["RMSE"] == pytest.approx(0.0, abs=1e-3)
-    assert m["CrossCorrelation"] == pytest.approx(1.0, abs=1e-4)
-    assert m["SAM"] == pytest.approx(0.0, abs=0.1)
+    assert m["RMSE"] == pytest.approx(0.0, abs=1e-2)
+    assert m["CrossCorrelation"] == pytest.approx(1.0, abs=1e-3)
+    assert m["SAM"] == pytest.approx(0.0, abs=0.5)
