@@ -213,6 +213,13 @@ class UNet(nn.Module):
     image_size: int = 128
     time_embedding: str = "continuous"  # 'continuous' (sr3) | 'discrete' (ddpm)
     norm: str = "group"  # 'group' (sr3) | 'batch' (ddpm)
+    remat: bool = False  # rematerialize resblocks (train big crops in HBM)
+
+    def _block(self, *args, name, **kwargs):
+        cls = ResnetBlocWithAttn
+        if self.remat:
+            cls = nn.remat(cls, static_argnums=(3,))
+        return cls(*args, **kwargs, name=name)
 
     @nn.compact
     def __call__(self, x, time, train=False):
@@ -242,7 +249,7 @@ class UNet(nn.Module):
             use_attn = now_res in self.attn_res
             ch = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks):
-                h = ResnetBlocWithAttn(
+                h = self._block(
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"downs_{li}",
                 )(h, emb, train)
@@ -255,11 +262,11 @@ class UNet(nn.Module):
                 now_res //= 2
 
         # --- mid (unet.py:213-218)
-        h = ResnetBlocWithAttn(
+        h = self._block(
             h.shape[-1], self.norm_groups, self.dropout, True,
             self.norm, discrete, name="mid_0",
         )(h, emb, train)
-        h = ResnetBlocWithAttn(
+        h = self._block(
             h.shape[-1], self.norm_groups, self.dropout, False,
             self.norm, discrete, name="mid_1",
         )(h, emb, train)
@@ -272,7 +279,7 @@ class UNet(nn.Module):
             ch = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
                 h = jnp.concatenate([h, feats.pop()], axis=-1)
-                h = ResnetBlocWithAttn(
+                h = self._block(
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"ups_{li}",
                 )(h, emb, train)
