@@ -107,6 +107,7 @@ def define_G(opt):
         image_size=image_size,
         time_embedding="discrete" if which == "ddpm" else "continuous",
         norm="batch" if which == "ddpm" else "group",
+        remat=bool(unet_opt.get("remat")),
     )
     diffusion = diffusion_for_phase(opt, "train")
     return unet, diffusion
