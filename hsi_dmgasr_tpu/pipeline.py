@@ -155,6 +155,38 @@ class DMGASRPipeline:
         """GAE round-trip (no diffusion) — stage-1 quality check."""
         return jnp.clip(self.decode(self.encode(cube)), 0.0, 1.0)
 
+    def super_resolve_tiled(self, sr_cube, tile=512, overlap=32, key=None):
+        """Tiled inference for scenes larger than one shot handles.
+
+        Replaces the reference's OFFLINE corner/center cropping
+        (GAE/crop.py:41-72) with online overlapped tiling: tiles are
+        super-resolved (batched per row) and blended with overlap
+        averaging. sr_cube: (H, W, C) or (B=1, H, W, C) numpy/jax array.
+        """
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        x = np.asarray(sr_cube)
+        if x.ndim == 4:
+            x = x[0]
+        H, W, C = x.shape
+        if H <= tile and W <= tile:
+            return self.super_resolve(x[None], key=key)[0]
+        stride = tile - overlap
+        ys = sorted({min(y, H - tile) for y in range(0, H - overlap, stride)})
+        xs = sorted({min(xx, W - tile) for xx in range(0, W - overlap, stride)})
+        out = np.zeros((H, W, C), np.float32)
+        weight = np.zeros((H, W, 1), np.float32)
+        keys = jax.random.split(key, len(ys) * len(xs))
+        ki = 0
+        for y0 in ys:
+            for x0 in xs:
+                patch = x[y0:y0 + tile, x0:x0 + tile][None]
+                pred = np.asarray(self.super_resolve(patch, key=keys[ki]))[0]
+                ki += 1
+                out[y0:y0 + tile, x0:x0 + tile] += pred
+                weight[y0:y0 + tile, x0:x0 + tile] += 1.0
+        return jnp.asarray(out / weight)
+
     # -------------------------------------------------------------- eval
 
     def evaluate(self, sr_cube, hr_cube, ratio=4, use_color_correction=False,
