@@ -14,3 +14,28 @@ as ``<file>:<lines>`` (e.g. ``AE.py:256-361``).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax at package import time)
+    if name == "DMGASRPipeline":
+        from .pipeline import DMGASRPipeline
+
+        return DMGASRPipeline
+    if name == "DDPMModel":
+        from .train.ddpm_model import DDPMModel
+
+        return DDPMModel
+    if name == "GAETrainer":
+        from .train.stage1_gae import GAETrainer
+
+        return GAETrainer
+    if name == "GAE":
+        from .models.gae import GAE
+
+        return GAE
+    if name == "load_torch_gae":
+        from .io.convert_torch import load_torch_gae
+
+        return load_torch_gae
+    raise AttributeError(name)

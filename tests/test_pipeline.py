@@ -75,6 +75,23 @@ def test_super_resolve_end_to_end(tiny_pipeline):
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+def test_super_resolve_tiled(tiny_pipeline):
+    rng = np.random.RandomState(5)
+    big = rng.rand(40, 40, 31).astype(np.float32)
+    out = tiny_pipeline.super_resolve_tiled(big, tile=16, overlap=8,
+                                            key=jax.random.PRNGKey(9))
+    assert out.shape == (40, 40, 31)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_top_level_api_exports():
+    import hsi_dmgasr_tpu as pkg
+
+    assert pkg.DMGASRPipeline is not None
+    assert pkg.GAE is not None
+    assert pkg.GAETrainer is not None
+
+
 def test_evaluate_metrics(tiny_pipeline):
     rng = np.random.RandomState(3)
     sr = rng.rand(1, 16, 16, 31).astype(np.float32)
