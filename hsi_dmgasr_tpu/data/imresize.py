@@ -73,8 +73,27 @@ def _contributions(in_length, out_length, scale, kernel, k_width):
     return weights[:, keep], indices[:, keep]
 
 
+try:  # native C++ kernel (native/imresize_ext.cpp); numpy fallback below
+    from . import _imresize_native
+except ImportError:
+    _imresize_native = None
+
+
 def _resize_along_dim(A, dim, weights, indices):
     """Apply one dim's weighted gather: out[o] = sum_p w[o,p] * A[idx[o,p]]."""
+    if (
+        _imresize_native is not None
+        and A.ndim == 3
+        and dim in (0, 1)
+        and A.dtype in (np.float32, np.float64)
+        and A.flags.c_contiguous
+    ):
+        w = np.ascontiguousarray(weights, dtype=np.float64)
+        ind = np.ascontiguousarray(indices, dtype=np.int64)
+        buf = _imresize_native.resize_along_dim(A, w, ind, dim)
+        out_shape = list(A.shape)
+        out_shape[dim] = w.shape[0]
+        return np.frombuffer(bytes(buf), dtype=np.float64).reshape(out_shape)
     gathered = np.take(A, indices, axis=dim).astype(np.float64)
     # gathered has shape A.shape[:dim] + (out, P) + A.shape[dim+1:]
     w = weights.reshape((1,) * dim + weights.shape + (1,) * (A.ndim - dim - 1))
