@@ -167,3 +167,15 @@ def test_cegatsr_forward_weight_parity():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(y), -1, 1), g["y"], atol=2e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("scale", [2, 8])
+def test_gelin_scale_variants(scale):
+    """NGIM x2 (GAE/GELIN.py:182-205) and x8 (GELIN.py:153-165) deconv
+    geometries."""
+    m = GELIN(n_feats=16, n_colors=31, n_subs=8, n_ovls=2, blocks=1,
+              scale=scale)
+    x = np.random.RandomState(0).rand(1, 8, 8, 31).astype(np.float32)
+    lms = np.random.RandomState(1).rand(1, 8 * scale, 8 * scale, 31).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x, lms)
+    assert m.apply(v, x, lms).shape == (1, 8 * scale, 8 * scale, 31)
