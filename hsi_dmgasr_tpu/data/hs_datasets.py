@@ -42,6 +42,14 @@ class HSTrainingData:
         self.base_size = base_size
         self.factor = 8 if augment else 1
         self.rng = rng if rng is not None else np.random.RandomState()
+        # crop coordinates are drawn from a per-(item, visit) seeded RNG:
+        # thread-safe under num_workers > 1 (a shared RandomState is not)
+        # and reproducible, while still varying across epochs
+        import threading
+
+        self._crop_seed = int(self.rng.randint(0, 2**31 - 1))
+        self._visits = {}
+        self._visits_lock = threading.Lock()
         # the reference re-reads + re-normalizes the full .mat scene on
         # EVERY item (HStrain.py:35-54); cache the normalized scenes once
         self._cache = {} if cache_scenes else None
@@ -74,8 +82,16 @@ class HSTrainingData:
 
         height, width, _ = img.shape
         gt_size = self.base_size * self.n_scale
-        row = self.rng.randint(0, height - gt_size + 1)
-        col = self.rng.randint(0, width - gt_size + 1)
+        with self._visits_lock:
+            visit = self._visits.get(index, 0)
+            self._visits[index] = visit + 1
+        crop_rng = np.random.RandomState(
+            np.random.SeedSequence(
+                [self._crop_seed, int(index), visit]
+            ).generate_state(1)[0]
+        )
+        row = crop_rng.randint(0, height - gt_size + 1)
+        col = crop_rng.randint(0, width - gt_size + 1)
         gt = img[row:row + gt_size, col:col + gt_size, :]
 
         if self.hr_only:

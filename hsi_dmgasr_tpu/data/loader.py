@@ -79,19 +79,38 @@ class DataLoader:
             return
 
         q = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        stop = threading.Event()
+
+        def _put(item):
+            # bounded put with shutdown poll so an early-breaking consumer
+            # (e.g. stage2_driver stopping at n_iter) never strands us
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
+            exc = None
             try:
                 for batch_idx in self._index_batches():
-                    q.put(self._fetch(batch_idx))
-            finally:
-                q.put(sentinel)
+                    if stop.is_set() or not _put(("data", self._fetch(batch_idx))):
+                        return
+            except BaseException as e:  # re-raised in the consumer
+                exc = e
+            _put(("end", exc))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "end":
+                    if item is not None:
+                        raise item
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -172,8 +172,15 @@ class DMGASRPipeline:
         if H <= tile and W <= tile:
             return self.super_resolve(x[None], key=key)[0]
         stride = tile - overlap
-        ys = sorted({min(y, H - tile) for y in range(0, H - overlap, stride)})
-        xs = sorted({min(xx, W - tile) for xx in range(0, W - overlap, stride)})
+
+        def _origins(dim):
+            # clamp to >= 0 so a dim <= tile yields the single origin 0
+            # (the slice then naturally shortens to the scene edge) —
+            # a negative origin would leave weight-0 regions -> NaN.
+            return sorted({max(0, min(o, dim - tile))
+                           for o in range(0, max(dim - overlap, 1), stride)})
+
+        ys, xs = _origins(H), _origins(W)
         out = np.zeros((H, W, C), np.float32)
         weight = np.zeros((H, W, 1), np.float32)
         keys = jax.random.split(key, len(ys) * len(xs))
@@ -185,6 +192,7 @@ class DMGASRPipeline:
                 ki += 1
                 out[y0:y0 + tile, x0:x0 + tile] += pred
                 weight[y0:y0 + tile, x0:x0 + tile] += 1.0
+        assert (weight > 0).all(), "tiling left uncovered regions"
         return jnp.asarray(out / weight)
 
     # -------------------------------------------------------------- eval

@@ -204,7 +204,11 @@ class DDPMModel:
         orig = cond.shape[0]
         pad = (-orig) % n_dev
         if pad:
-            cond = jnp.concatenate([cond, cond[:pad]], axis=0)
+            # mode='wrap' keeps repeating the batch, so the result is a
+            # multiple of n_dev even when pad > orig (e.g. 2 latents on
+            # an 8-device mesh)
+            cond = jnp.pad(cond, ((0, pad),) + ((0, 0),) * (cond.ndim - 1),
+                           mode="wrap")
         if n_dev > 1:
             cond = shard_batch(self.mesh, cond)
         run = self._get_sampler(tuple(cond.shape))

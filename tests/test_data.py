@@ -68,6 +68,62 @@ def test_mat_pair_datasets(synth_data):
     assert item["SR"].shape == (64, 64, 31)
 
 
+class _ExplodingDataset:
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        if i == 2:
+            raise ValueError("boom at item 2")
+        return np.zeros((3,), np.float32)
+
+
+def test_dataloader_propagates_worker_exception():
+    dl = DataLoader(_ExplodingDataset(), batch_size=1, prefetch=2)
+    with pytest.raises(ValueError, match="boom at item 2"):
+        list(dl)
+
+
+def test_dataloader_early_break_unblocks_producer(synth_data):
+    """Consumer breaking mid-epoch (n_iter stop) must not strand the
+    producer thread on a full queue."""
+    import threading
+
+    ds = HSTrainingData(
+        os.path.join(synth_data, "mat_scenes"), n_scale=2, augment=True,
+        rng=np.random.RandomState(0),
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in DataLoader(ds, batch_size=1, prefetch=1):
+            break  # early exit with items still queued
+    import time
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_training_crops_threadsafe_and_distinct(synth_data):
+    """Per-(item, visit) seeded crop RNG: concurrent workers yield valid,
+    non-identical crops, and revisiting an item gives a fresh crop."""
+    ds = HSTrainingData(
+        os.path.join(synth_data, "mat_scenes"), n_scale=2, augment=False,
+        rng=np.random.RandomState(0),
+    )
+    dl = DataLoader(ds, batch_size=2, num_workers=4, prefetch=0)
+    epoch1 = [b["HR"].copy() for b in dl]
+    epoch2 = [b["HR"].copy() for b in dl]
+    for b in epoch1 + epoch2:
+        assert b.shape == (2, 64, 64, 31)
+        assert np.isfinite(b).all()
+    # same item, different visit -> (almost surely) different crop
+    assert not all(
+        np.array_equal(a, b) for a, b in zip(epoch1, epoch2)
+    )
+
+
 def test_dataloader_batches(synth_data):
     ds = HSTestData(os.path.join(synth_data, "npy_scenes"), n_scale=2, gt_size=64)
     dl = DataLoader(ds, batch_size=2, shuffle=True, seed=1)

@@ -84,6 +84,17 @@ def test_super_resolve_tiled(tiny_pipeline):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("shape", [(40, 12, 31), (12, 40, 31)])
+def test_super_resolve_tiled_rectangular(tiny_pipeline, shape):
+    """One dim <= tile < other (Pavia-like) must not leave weight-0 NaN."""
+    rng = np.random.RandomState(6)
+    big = rng.rand(*shape).astype(np.float32)
+    out = tiny_pipeline.super_resolve_tiled(big, tile=16, overlap=8,
+                                            key=jax.random.PRNGKey(10))
+    assert out.shape == shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_top_level_api_exports():
     import hsi_dmgasr_tpu as pkg
 
@@ -117,6 +128,17 @@ def test_data_parallel_mesh_training():
     # loss is replicated; params identical across devices
     p = jax.tree.leaves(ddpm.state.params)[0]
     assert len(p.sharding.device_set) == 8
+
+
+def test_mesh_inference_pad_exceeds_batch():
+    """batch of 2 on an 8-device mesh: wrap-padding must reach n_dev."""
+    mesh = data_parallel_mesh()
+    ddpm = DDPMModel(TINY_OPT, mesh=mesh, seed=0)
+    rng = np.random.RandomState(1)
+    cond = rng.rand(2, 16, 16, 3).astype(np.float32)
+    out = ddpm.super_resolution(cond, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_checkpoint_roundtrip(tmp_path):
