@@ -81,9 +81,10 @@ class GaussianDiffusion:
 
     # ------------------------------------------------------------ sample
 
-    def _step(self, denoise_fn, x, t, key, cond):
+    def _step(self, denoise_fn, x, t, key, cond, noise=None):
         """One reverse step == reference p_sample (diffusion.py:142-175),
-        with every scalar gathered from traced buffers."""
+        with every scalar gathered from traced buffers. ``noise`` overrides
+        the drawn Gaussian (deterministic replay / torch parity)."""
         sched = self.schedule
         f32 = partial(jnp.asarray, dtype=jnp.float32)
         sacp_prev = f32(sched.sqrt_alphas_cumprod_prev)
@@ -104,32 +105,46 @@ class GaussianDiffusion:
         if self.clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
         mean = c1[t] * x_recon + c2[t] * x
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         return mean + noise * jnp.exp(0.5 * plv[t])
 
     def sample_loop(self, denoise_fn, key, shape=None, cond=None,
-                    return_intermediates=False):
+                    return_intermediates=False, x_init=None, noise_seq=None):
         """Full reverse chain as one lax.scan (vs diffusion.py:177-201).
 
         conditional: cond is the bicubic-upsampled LR latent, shape sets
-        itself from cond. unconditional: pass shape.
+        itself from cond. unconditional: pass shape. ``x_init`` and
+        ``noise_seq`` (T, *shape — ordered t=T-1..0) replace the drawn
+        Gaussians for deterministic replay (torch chain parity).
         """
         sched = self.schedule
         T = sched.num_timesteps
         if cond is not None:
             shape = cond.shape
         k_init, k_steps = jax.random.split(key)
-        x0 = jax.random.normal(k_init, shape, jnp.float32)
+        x0 = (jnp.asarray(x_init, jnp.float32) if x_init is not None
+              else jax.random.normal(k_init, shape, jnp.float32))
         step_keys = jax.random.split(k_steps, T)
         ts = jnp.arange(T - 1, -1, -1)
 
-        def body(x, inp):
-            t, k = inp
-            x = self._step(denoise_fn, x, t, k, cond)
-            return x, (x if return_intermediates else None)
+        if noise_seq is not None:
+            def body(x, inp):
+                t, k, nz = inp
+                x = self._step(denoise_fn, x, t, k, cond, noise=nz)
+                return x, (x if return_intermediates else None)
 
-        x_fin, inter = jax.lax.scan(body, x0, (ts, step_keys))
+            xs = (ts, step_keys, jnp.asarray(noise_seq, jnp.float32))
+        else:
+            def body(x, inp):
+                t, k = inp
+                x = self._step(denoise_fn, x, t, k, cond)
+                return x, (x if return_intermediates else None)
+
+            xs = (ts, step_keys)
+
+        x_fin, inter = jax.lax.scan(body, x0, xs)
         if return_intermediates:
             return x_fin, inter
         return x_fin
@@ -237,7 +252,7 @@ class DDPMDiffusion(GaussianDiffusion):
             return jnp.mean(err ** 2)
         raise NotImplementedError(self.loss_type)
 
-    def _step(self, denoise_fn, x, t, key, cond):
+    def _step(self, denoise_fn, x, t, key, cond, noise=None):
         sched = self.schedule
         f32 = partial(jnp.asarray, dtype=jnp.float32)
         srac = f32(sched.sqrt_recip_alphas_cumprod)
@@ -254,7 +269,8 @@ class DDPMDiffusion(GaussianDiffusion):
         if self.clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
         mean = c1[t] * x_recon + c2[t] * x
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, x.dtype)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         return mean + noise * jnp.exp(0.5 * plv[t])
 

@@ -133,6 +133,29 @@ def main():
     payload["qs_gamma"] = g
     payload["qs_out"] = qs.numpy()
 
+    # ---- FULL reverse chain (T=20 cosine) with recorded per-step noise:
+    # drives the reference p_sample per step (p_mean_variance + recorded
+    # Gaussian, exactly p_sample_loop's update at diffusion.py:177-201)
+    # so the composed jax scan can be replayed deterministically.
+    chain_rng = np.random.RandomState(11)
+    x = chain_rng.randn(1, 3, 16, 16).astype(np.float32)
+    chain_cond = (chain_rng.rand(1, 3, 16, 16).astype(np.float32) * 2 - 1)
+    payload["chain_x_init"] = x
+    payload["chain_cond"] = chain_cond
+    noises = []
+    xt = torch.from_numpy(x)
+    for t_step in reversed(range(20)):
+        mean, logvar = gd.p_mean_variance(
+            xt, t_step, clip_denoised=True,
+            condition_x=torch.from_numpy(chain_cond),
+        )
+        nz = (chain_rng.randn(*x.shape).astype(np.float32)
+              if t_step > 0 else np.zeros_like(x))
+        noises.append(nz)
+        xt = mean + torch.from_numpy(nz) * np.exp(0.5 * float(logvar))
+    payload["chain_noises"] = np.stack(noises)  # ordered t=19..0
+    payload["chain_final"] = xt.numpy()
+
     np.savez_compressed(os.path.join(OUT, "unet_diffusion_golden.npz"), **payload)
     print("wrote", len(payload), "arrays")
 
