@@ -170,6 +170,9 @@ _RULES = [
     (re.compile(r"\bMultiUp\.2\."), "multi_up/"),
     (re.compile(r"\bMultiUp\.3\."), "multi_act/"),
     (re.compile(r"\berror_resblock\.0\."), "error/"),
+    # --- torchvision VGG19 (stage-1 perceptual loss, AE.py:551-604)
+    (re.compile(r"^features\.(\d+)\."), r"features_\1/"),
+    (re.compile(r"^classifier\.(\d+)\."), r"classifier_\1/"),
 ]
 
 # model-scoped rule groups, applied BEFORE the common rules when
@@ -317,6 +320,17 @@ def state_dict_to_flax(sd, transpose_conv=True, model=None):
     if flat_stats:
         out["batch_stats"] = _nest(flat_stats)
     return out
+
+
+def load_torch_vgg19(path):
+    """Load a user-supplied torchvision ``vgg19*.pth`` (state_dict or
+    whole-module pickle) -> flax variables for ``models.vgg.VGG19``.
+
+    Completes the reference's stage-1 "VGGSAM" perceptual recipe
+    (AE.py:551-604) in a zero-egress environment: the user provides the
+    weights file, we convert it."""
+    sd = load_state_dict(path)
+    return state_dict_to_flax(sd)
 
 
 def load_torch_gae(path):

@@ -2,10 +2,13 @@
 
 Trains the Group AutoEncoder on HR cubes with the GELIN HLoss(0.3, 0.1)
 (AE.py:613-614), Adam 1e-4 (AE.py:565). The reference's optional VGG19
-perceptual term on 3 random bands (AE.py:602-604) is exposed as a
-pluggable ``perceptual_fn`` hook — torchvision's pretrained VGG cannot
-be downloaded in a zero-egress environment, and the shipped checkpoints
-were trained with HLoss only.
+"VGGSAM" perceptual term — full torchvision vgg19 logits on 3 random
+bands, L1, weighted 1e-3 (AE.py:551-604) — is available via
+``make_vgg_perceptual_fn`` with user-supplied weights
+(``io.convert_torch.load_torch_vgg19``; torchvision's download is
+blocked by zero egress, and the shipped checkpoints were trained with
+HLoss only). Any callable ``(recon, hr)`` or ``(recon, hr, key)`` works
+as ``perceptual_fn``.
 
 The whole update is one jitted function; with a data mesh the gradient
 all-reduce replaces the commented-out DataParallel of AE.py:549.
@@ -27,6 +30,26 @@ from .losses import h_loss
 from .state import create_train_state
 
 
+def make_vgg_perceptual_fn(vgg_variables):
+    """The reference's p_loss (AE.py:602-604): L1 between full-vgg19
+    logits of 3 uniformly random bands of recon vs target. Returns a
+    ``(recon, hr, key)`` callable for ``GAETrainer(perceptual_fn=...)``.
+    """
+    from ..models.vgg import VGG19
+
+    vgg = VGG19()
+
+    def fn(recon, hr, key):
+        bands = jax.random.randint(key, (3,), 0, hr.shape[-1])
+        r3 = jnp.take(recon, bands, axis=-1)
+        h3 = jnp.take(hr, bands, axis=-1)
+        return jnp.mean(jnp.abs(
+            vgg.apply(vgg_variables, r3) - vgg.apply(vgg_variables, h3)
+        ))
+
+    return fn
+
+
 class GAETrainer:
     def __init__(self, n_subs=16, n_ovls=4, n_colors=102, n_feats=64,
                  lr=1e-4, la1=0.3, la2=0.1, mesh=None, seed=0,
@@ -42,6 +65,14 @@ class GAETrainer:
         self.la1, self.la2 = la1, la2
         self.perceptual_fn = perceptual_fn
         self.perceptual_weight = perceptual_weight
+        if perceptual_fn is not None:
+            import inspect
+
+            n_args = len(inspect.signature(perceptual_fn).parameters)
+            self._perceptual_wants_key = n_args >= 3
+        else:
+            self._perceptual_wants_key = False
+        self._key = jax.random.PRNGKey(seed + 101)
 
         if variables is None:
             x0 = jnp.zeros((1, example_hw, example_hw, n_colors))
@@ -52,21 +83,26 @@ class GAETrainer:
         self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(self._train_step_impl)
 
-    def _train_step_impl(self, state, hr):
+    def _train_step_impl(self, state, hr, key):
         def loss_fn(params):
             recon, _ = self.gae.apply({"params": params}, hr)
             loss = h_loss(recon, hr, self.la1, self.la2)
             if self.perceptual_fn is not None:
-                loss = loss + self.perceptual_weight * self.perceptual_fn(recon, hr)
+                p = (self.perceptual_fn(recon, hr, key)
+                     if self._perceptual_wants_key
+                     else self.perceptual_fn(recon, hr))
+                loss = loss + self.perceptual_weight * p
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(self.tx, grads), loss
 
-    def train_step(self, hr):
+    def train_step(self, hr, key=None):
         """One Adam step on an HR cube batch (B, H, W, C)."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
         hr = shard_batch(self.mesh, jnp.asarray(hr))
-        self.state, loss = self._train_step(self.state, hr)
+        self.state, loss = self._train_step(self.state, hr, key)
         return loss
 
     # ------------------------------------------------------------- eval
