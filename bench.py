@@ -92,6 +92,8 @@ def build(args):
         channel_mults=tuple(u["channel_multiplier"]),
         attn_res=tuple(u["attn_res"]), res_blocks=u["res_blocks"],
         image_size=size,
+        # fused Pallas GN+swish+conv resblocks (kernels/fused_conv.py)
+        fuse_blocks=not args.no_fuse,
     )
     diffusion = diffusion_for_phase(opt, "val")
     unet_vars = unet.init(
@@ -133,6 +135,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="cubes per inference call (throughput mode)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable the fused Pallas resblocks")
     args = ap.parse_args()
 
     import jax

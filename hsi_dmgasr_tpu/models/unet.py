@@ -58,6 +58,28 @@ def discrete_time_encoding(t, dim):
     return jnp.concatenate([jnp.sin(sin_in), jnp.cos(sin_in)], axis=-1)
 
 
+class GN(nn.Module):
+    """GroupNorm with nn.GroupNorm-compatible params (scale/bias) that
+    can hand its raw params to the fused Pallas kernel."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, params_only=False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if params_only:
+            return scale, bias
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, c // g)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        return (xn * scale + bias).astype(x.dtype)
+
+
 class Norm(nn.Module):
     """GroupNorm(32) or BatchNorm switch, torch-compatible params."""
 
@@ -66,31 +88,62 @@ class Norm(nn.Module):
     norm_groups: int = 32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, params_only=False):
         if self.norm == "group":
-            return nn.GroupNorm(
+            return GN(
                 num_groups=self.norm_groups, epsilon=1e-5, name="gn"
-            )(x)
+            )(x, params_only=params_only)
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
 
 
 class Block(nn.Module):
-    """norm -> swish -> dropout -> 3x3 conv (sr3_modules/unet.py:80-91)."""
+    """norm -> swish -> dropout -> 3x3 conv (sr3_modules/unet.py:80-91).
+
+    With ``fuse=True`` (inference, GroupNorm, no dropout) the whole
+    chain — plus an optional per-batch ``time_bias`` and ``residual``
+    add — runs as ONE Pallas kernel (kernels/fused_conv.py), cutting
+    the HBM passes that make the sampler memory-bound. Param tree is
+    identical to the unfused path.
+    """
 
     dim_out: int
     norm_groups: int = 32
     dropout: float = 0.0
     norm: str = "group"
+    fuse: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, time_bias=None, residual=None):
+        fuse = (self.fuse and not train and self.norm == "group"
+                and x.shape[-1] % self.norm_groups == 0
+                and not self.is_initializing())
+        if fuse:
+            from ..kernels.fused_conv import gn_swish_conv3x3
+
+            gn_scale, gn_bias = Norm(
+                x.shape[-1], self.norm, self.norm_groups, name="norm"
+            )(x, train, params_only=True)
+            kernel, cbias = Conv2d(self.dim_out, 3, name="conv")(
+                x, params_only=True
+            )
+            interpret = jax.devices()[0].platform == "cpu"
+            return gn_swish_conv3x3(
+                x, gn_scale, gn_bias, kernel, cbias,
+                time_bias=time_bias, residual=residual,
+                num_groups=self.norm_groups, interpret=interpret,
+            )
         x = Norm(x.shape[-1], self.norm, self.norm_groups, name="norm")(x, train)
         x = swish(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return Conv2d(self.dim_out, 3, name="conv")(x)
+        y = Conv2d(self.dim_out, 3, name="conv")(x)
+        if time_bias is not None:
+            y = y + time_bias[:, None, None, :]
+        if residual is not None:
+            y = y + residual
+        return y
 
 
 class NoiseInjection(nn.Module):
@@ -107,16 +160,17 @@ class NoiseInjection(nn.Module):
     discrete: bool = False
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, bias_only=False):
         if self.discrete:
             h = Dense(self.dim_out, name="func")(swish(emb))
-            return x + h[:, None, None, :]
+            return h if bias_only else x + h[:, None, None, :]
         if self.use_affine_level:
+            assert not bias_only, "affine conditioning is not a pure bias"
             h = Dense(self.dim_out * 2, name="func")(emb)
             gamma, beta = jnp.split(h[:, None, None, :], 2, axis=-1)
             return (1 + gamma) * x + beta
         h = Dense(self.dim_out, name="func")(emb)
-        return x + h[:, None, None, :]
+        return h if bias_only else x + h[:, None, None, :]
 
 
 class ResnetBlock(nn.Module):
@@ -129,9 +183,28 @@ class ResnetBlock(nn.Module):
     use_affine_level: bool = False
     norm: str = "group"
     discrete: bool = False
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x, emb, train=False):
+        fuse = (self.fuse and not train and self.norm == "group"
+                and not self.use_affine_level
+                and not self.is_initializing())
+        res = x
+        if x.shape[-1] != self.dim_out:
+            res = Conv2d(self.dim_out, 1, name="res_conv")(x)
+        if fuse:
+            # the time conditioning is a pure per-(b, c) bias and the
+            # residual a plain add — both ride the fused Block's epilogue
+            tb = (NoiseInjection(
+                self.dim_out, self.use_affine_level, self.discrete,
+                name="noise_func")(None, emb, bias_only=True)
+                if emb is not None else None)
+            h = Block(self.dim_out, self.norm_groups, norm=self.norm,
+                      fuse=True, name="block1")(x, train, time_bias=tb)
+            return Block(self.dim_out, self.norm_groups, self.dropout,
+                         self.norm, fuse=True, name="block2")(
+                h, train, residual=res)
         h = Block(self.dim_out, self.norm_groups, norm=self.norm, name="block1")(x, train)
         if emb is not None:
             h = NoiseInjection(
@@ -140,9 +213,7 @@ class ResnetBlock(nn.Module):
         h = Block(
             self.dim_out, self.norm_groups, self.dropout, self.norm, name="block2"
         )(h, train)
-        if x.shape[-1] != self.dim_out:
-            x = Conv2d(self.dim_out, 1, name="res_conv")(x)
-        return h + x
+        return h + res
 
 
 class SelfAttention(nn.Module):
@@ -183,12 +254,14 @@ class ResnetBlocWithAttn(nn.Module):
     with_attn: bool = False
     norm: str = "group"
     discrete: bool = False
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x, emb, train=False):
         x = ResnetBlock(
             self.dim_out, self.norm_groups, self.dropout,
-            norm=self.norm, discrete=self.discrete, name="res_block",
+            norm=self.norm, discrete=self.discrete, fuse=self.fuse,
+            name="res_block",
         )(x, emb, train)
         if self.with_attn:
             x = SelfAttention(
@@ -214,12 +287,13 @@ class UNet(nn.Module):
     time_embedding: str = "continuous"  # 'continuous' (sr3) | 'discrete' (ddpm)
     norm: str = "group"  # 'group' (sr3) | 'batch' (ddpm)
     remat: bool = False  # rematerialize resblocks (train big crops in HBM)
+    fuse_blocks: bool = False  # Pallas fused GN+swish+conv at inference
 
     def _block(self, *args, name, **kwargs):
         cls = ResnetBlocWithAttn
         if self.remat:
             cls = nn.remat(cls, static_argnums=(3,))
-        return cls(*args, **kwargs, name=name)
+        return cls(*args, **kwargs, fuse=self.fuse_blocks, name=name)
 
     @nn.compact
     def __call__(self, x, time, train=False):
@@ -291,6 +365,8 @@ class UNet(nn.Module):
                 li += 1
                 now_res *= 2
 
+        # final conv stays unfused: out_channel (3) is far below a lane
+        # tile and the fused kernel would pad 64x for nothing
         return Block(
             self.out_channel, self.norm_groups, norm=self.norm, name="final_conv"
         )(h, train)

@@ -61,7 +61,7 @@ class Conv2d(nn.Module):
     weight_norm: bool = False  # torch.nn.utils.weight_norm reparam
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only=False):
         k = self.kernel_size
         in_ch = x.shape[-1]
         if self.weight_norm:
@@ -74,6 +74,13 @@ class Conv2d(nn.Module):
             kernel = self.param(
                 "kernel", torch_conv_kernel_init, (k, k, in_ch, self.features)
             )
+        if params_only:
+            # fused-kernel path (kernels/fused_conv.py): hand back the
+            # raw (kernel, bias) so the caller can run the conv itself
+            bias = (self.param("bias", torch_conv_init(k * k * in_ch),
+                               (self.features,))
+                    if self.use_bias else None)
+            return kernel, bias
         if self.padding is None:
             pad = (k // 2) * self.dilation
         else:

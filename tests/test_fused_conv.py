@@ -1,0 +1,100 @@
+"""Fused GN+swish+conv3x3 Pallas kernel vs the unfused flax Block."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from hsi_dmgasr_tpu.kernels.fused_conv import gn_swish_conv3x3
+
+
+def _unfused(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
+             residual=None, num_groups=8):
+    gn = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5)
+    y = gn.apply({"params": {"scale": gn_scale, "bias": gn_bias}},
+                 x.astype(jnp.float32))
+    y = y * jax.nn.sigmoid(y)
+    y = jax.lax.conv_general_dilated(
+        y.astype(jnp.float32), kernel.astype(jnp.float32),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    if time_bias is not None:
+        y = y + time_bias[:, None, None, :]
+    if residual is not None:
+        y = y + residual
+    return y
+
+
+@pytest.mark.parametrize("shape,cout,extras", [
+    ((2, 16, 16, 16), 16, "none"),       # square, C==Cout
+    ((1, 24, 16, 16), 32, "tb"),         # rectangular, channel change
+    ((2, 8, 8, 16), 16, "tb+res"),       # H == rows edge case
+    ((1, 40, 24, 32), 16, "res"),        # odd slab division
+])
+def test_fused_matches_unfused(shape, cout, extras):
+    rng = np.random.RandomState(0)
+    b, h, w, c = shape
+    x = rng.randn(*shape).astype(np.float32)
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = (rng.randn(3, 3, c, cout).astype(np.float32)
+              / np.sqrt(9 * c))
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    tb = (rng.randn(b, cout).astype(np.float32)
+          if "tb" in extras else None)
+    res = (rng.randn(b, h, w, cout).astype(np.float32)
+           if "res" in extras else None)
+
+    want = _unfused(x, gn_scale, gn_bias, kernel, bias, tb, res)
+    got = gn_swish_conv3x3(
+        x, gn_scale, gn_bias, kernel, bias, time_bias=tb, residual=res,
+        num_groups=8, interpret=True,
+    )
+    assert got.shape == want.shape
+    # kernel computes in bf16 between prologue and matmul
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
+    )
+
+
+def test_fused_unet_matches_unfused():
+    """Whole-UNet equality: fuse_blocks=True must match the unfused
+    forward (same params) to bf16 tolerance, incl. time-bias and
+    residual fusion inside every resblock."""
+    from hsi_dmgasr_tpu.models.unet import UNet
+
+    kw = dict(in_channel=6, out_channel=3, inner_channel=16,
+              norm_groups=8, channel_mults=(1, 2), attn_res=(8,),
+              res_blocks=1, dropout=0.1, image_size=16)
+    rng = np.random.RandomState(2)
+    x = rng.rand(2, 16, 16, 6).astype(np.float32)
+    t = np.array([[0.4], [0.8]], np.float32)
+
+    base = UNet(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, t)
+    want = base.apply(variables, x, t)
+    got = UNet(**kw, fuse_blocks=True).apply(variables, x, t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.02, rtol=0.05
+    )
+
+
+def test_fused_bf16_roundtrip_quality():
+    """End-to-end agreement in dB at a flagship-like (scaled) shape."""
+    rng = np.random.RandomState(1)
+    b, h, w, c = 2, 32, 32, 32
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = np.ones(c, np.float32)
+    gn_bias = np.zeros(c, np.float32)
+    kernel = rng.randn(3, 3, c, c).astype(np.float32) / np.sqrt(9 * c)
+    bias = np.zeros(c, np.float32)
+    want = np.asarray(_unfused(x, gn_scale, gn_bias, kernel, bias))
+    got = np.asarray(gn_swish_conv3x3(
+        x, gn_scale, gn_bias, kernel, bias, num_groups=8, interpret=True,
+    ), np.float32)
+    err = np.sqrt(np.mean((got - want) ** 2))
+    sig = np.sqrt(np.mean(want ** 2))
+    snr_db = 20 * np.log10(sig / (err + 1e-12))
+    assert snr_db > 35, f"fused kernel SNR too low: {snr_db:.1f} dB"
