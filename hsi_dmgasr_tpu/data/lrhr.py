@@ -6,7 +6,8 @@ Three source modes:
              LRHR_dataset_bak.py:28-40 layout).
   * 'list' — ``list_file`` of "lr hr" path pairs with random 128² crops
              (the modified LRHR_dataset.py:40-52 mode).
-  * 'lmdb' — gated on the lmdb package (absent from this image).
+  * 'lmdb' — standard SR3 lmdb databases (prepare_data.py:83-92 key
+             scheme), read via the dependency-free io/lmdb_lite reader.
 
 Values are HWC float32 scaled to min_max (default (-1, 1)), with the
 reference's paired random hflip at train time (data/util.py:74-83).
@@ -68,14 +69,14 @@ class LRHRDataset:
             self.pairs = [ln.rstrip().split(" ") for ln in lines if ln.strip()]
             self.dataset_len = len(self.pairs)
         elif datatype == "lmdb":
-            try:
-                import lmdb  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "lmdb datatype requires the lmdb package, which is not "
-                    "installed in this environment"
-                ) from e
-            raise NotImplementedError("lmdb mode pending lmdb availability")
+            # dependency-free LMDB reader (io/lmdb_lite.py) — the
+            # reference needs the lmdb package here (LRHR_dataset.py:28-38)
+            from ..io.lmdb_lite import LmdbReader
+
+            self.env = LmdbReader(dataroot)
+            length = self.env.get(b"length")
+            self.dataset_len = (int(length) if length is not None
+                                else len(self.env))
         else:
             raise NotImplementedError(f"data_type [{datatype}]")
 
@@ -97,8 +98,28 @@ class LRHRDataset:
 
         return np.asarray(Image.open(path).convert("RGB"))
 
+    def _open_bytes(self, raw):
+        import io as _io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"))
+
     def __getitem__(self, index):
-        if self.datatype == "img":
+        if self.datatype == "lmdb":
+            # reference key scheme: data/prepare_data.py:83-92
+            hr = self.env.get(f"hr_{self.r_res}_{index:05d}")
+            sr = self.env.get(f"sr_{self.l_res}_{self.r_res}_{index:05d}")
+            if hr is None or sr is None:
+                raise KeyError(f"lmdb index {index} missing hr/sr entries")
+            img_HR = self._open_bytes(hr)
+            img_SR = self._open_bytes(sr)
+            img_LR = None
+            if self.need_LR:
+                img_LR = self._open_bytes(
+                    self.env.get(f"lr_{self.l_res}_{index:05d}")
+                )
+        elif self.datatype == "img":
             img_HR = self._open(self.hr_path[index])
             img_SR = self._open(self.sr_path[index])
             img_LR = self._open(self.lr_path[index]) if self.need_LR else None

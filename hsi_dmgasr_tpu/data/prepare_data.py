@@ -1,9 +1,10 @@
 """Offline dataset builder (reference data/prepare_data.py).
 
 Resizes source images to (low, high) pairs and a bicubic fake-SR, writing
-the folder layout the LRHR 'img' mode consumes:
+either the folder layout the LRHR 'img' mode consumes:
   {out}_{l}_{r}/hr_{r}/*.png, lr_{l}/*.png, sr_{l}_{r}/*.png
-(lmdb output is gated on the lmdb package, absent in this image).
+or, with --lmdb, an LMDB database with the reference's key scheme
+(prepare_data.py:83-92) via the dependency-free io/lmdb_lite writer.
 
 Pure-CPU tool; parallelized with a thread pool instead of the reference's
 multiprocessing workers (prepare_data.py:50-134).
@@ -40,21 +41,56 @@ def process_one(paths, out_dir, sizes, keep_aspect=False):
     sr.save(os.path.join(out_dir, f"sr_{low}_{high}", f"{stem}.png"))
 
 
+def _source_files(path):
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(path)
+        for f in fns if f.lower().endswith(exts)
+    )
+
+
 def prepare(path, out, size="16,128", n_worker=8):
     sizes = tuple(int(s) for s in size.split(","))
     low, high = sizes
     out_dir = f"{out}_{low}_{high}"
     for sub in (f"hr_{high}", f"lr_{low}", f"sr_{low}_{high}"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
-    exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
-    files = sorted(
-        os.path.join(dp, f)
-        for dp, _, fns in os.walk(path)
-        for f in fns if f.lower().endswith(exts)
-    )
+    files = _source_files(path)
     worker = partial(process_one, out_dir=out_dir, sizes=sizes)
     with ThreadPoolExecutor(max_workers=n_worker) as ex:
         list(ex.map(worker, enumerate(files)))
+    return out_dir, len(files)
+
+
+def prepare_lmdb(path, out, size="16,128"):
+    """Build an SR3 lmdb database (reference prepare_data.py:83-92 key
+    scheme: hr_{r}_{i:05d}, lr_{l}_{i:05d}, sr_{l}_{r}_{i:05d}, length)."""
+    import io as _io
+
+    from PIL import Image
+
+    from ..io.lmdb_lite import LmdbWriter
+
+    low, high = (int(s) for s in size.split(","))
+    out_dir = f"{out}_{low}_{high}"
+    files = _source_files(path)
+
+    def png_bytes(img):
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    with LmdbWriter(out_dir) as w:
+        for i, p in enumerate(files):
+            img = Image.open(p).convert("RGB")
+            hr = resize_and_convert(img, high, Image.BICUBIC)
+            lr = resize_and_convert(hr, low, Image.BICUBIC)
+            sr = resize_and_convert(lr, high, Image.BICUBIC)
+            w.put(f"hr_{high}_{i:05d}", png_bytes(hr))
+            w.put(f"lr_{low}_{i:05d}", png_bytes(lr))
+            w.put(f"sr_{low}_{high}_{i:05d}", png_bytes(sr))
+        w.put("length", str(len(files)))
     return out_dir, len(files)
 
 
@@ -67,9 +103,9 @@ def main(argv=None):
     p.add_argument("-l", "--lmdb", action="store_true")
     args = p.parse_args(argv)
     if args.lmdb:
-        raise SystemExit("lmdb output requires the lmdb package "
-                         "(not installed in this image)")
-    out_dir, n = prepare(args.path, args.out, args.size, args.n_worker)
+        out_dir, n = prepare_lmdb(args.path, args.out, args.size)
+    else:
+        out_dir, n = prepare(args.path, args.out, args.size, args.n_worker)
     print(f"wrote {n} triplets to {out_dir}")
 
 
