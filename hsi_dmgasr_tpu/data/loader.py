@@ -34,7 +34,7 @@ def _collate(items):
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 seed=0, prefetch=2, num_workers=1):
+                 seed=0, prefetch=2, num_workers=1, distributed=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +42,10 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # distributed=True: each jax process draws only its own contiguous
+        # shard of the dataset (the DistributedSampler replacement,
+        # reference distributed/distributed.py:135-143)
+        self.distributed = distributed
         self._pool = None
 
     def _fetch(self, batch_idx):
@@ -64,7 +68,13 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        idx = np.arange(len(self.dataset))
+        if self.distributed:
+            from ..parallel.multihost import per_host_slice
+
+            start, stop = per_host_slice(len(self.dataset), self.batch_size)
+            idx = np.arange(start, stop)
+        else:
+            idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
         bs = self.batch_size

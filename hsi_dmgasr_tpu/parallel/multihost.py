@@ -21,9 +21,19 @@ import jax
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize multi-host jax. No-ops on single-process setups."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    """Initialize multi-host jax. No-ops on single-process setups.
+
+    Must run BEFORE any device/process query — jax.process_count()
+    itself initializes the XLA backend, after which distributed init is
+    impossible. Probe prior initialization without triggering it.
+    """
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return  # too late — assume the runtime already set things up
+    except Exception:
+        pass
     if coordinator_address is None and num_processes is None:
         # single host or TPU-pod auto-bootstrap
         try:

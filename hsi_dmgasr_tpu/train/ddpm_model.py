@@ -69,15 +69,38 @@ class DDPMModel:
         lr = (opt.get("train") or {}).get("optimizer", {}).get("lr", 1e-4)
         tx = optax.adam(lr)
         if (opt["model"] or {}).get("finetune_norm"):
-            def mask_fn(params):
+            # the reference hands ONLY 'transformer'-named params to the
+            # optimizer (model/model.py:26-35); everything else must be
+            # frozen, not passed through (optax.masked would leak raw
+            # grads as updates for unmasked params)
+            def label_fn(params):
                 return jax.tree_util.tree_map_with_path(
-                    lambda p, _: any("transformer" in str(k) for k in p), params
+                    lambda p, _: ("train" if any("transformer" in str(k)
+                                                for k in p) else "freeze"),
+                    params,
                 )
-            tx = optax.chain(optax.masked(tx, mask_fn))
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+            )
+            # faithful reference bug (model/model.py:26-35): the mask
+            # keeps only params whose path contains 'transformer', and
+            # the UNet has none — finetune_norm therefore trains NOTHING
+            import logging
+
+            logging.getLogger("hsi_dmgasr_tpu").warning(
+                "finetune_norm=True masks updates to 'transformer' params; "
+                "this UNet has none, so NO parameters will train "
+                "(reference-parity no-op, model/model.py:26-35)"
+            )
         self.tx = tx
 
         ema_opt = (opt.get("train") or {}).get("ema_scheduler")
         self.ema_decay = ema_opt["ema_decay"] if ema_opt else None
+        # beyond-reference: sample from the EMA weights at eval time
+        # (the reference carries ema_scheduler config but never uses it)
+        self.use_ema_for_eval = bool(
+            (ema_opt or {}).get("use_ema_for_eval", False)
+        )
         self.state = create_train_state(variables, tx, use_ema=bool(ema_opt))
 
         if mesh is None:
@@ -151,8 +174,15 @@ class DDPMModel:
 
     # ----------------------------------------------------------- sample
 
+    @property
+    def eval_params(self):
+        """Weights used at eval: EMA when use_ema_for_eval is set."""
+        if self.use_ema_for_eval and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def _eval_denoise_fn(self, params=None):
-        params = self.state.params if params is None else params
+        params = self.eval_params if params is None else params
 
         def denoise_fn(x, t):
             out, _ = self._denoise_apply(
@@ -212,7 +242,7 @@ class DDPMModel:
         if n_dev > 1:
             cond = shard_batch(self.mesh, cond)
         run = self._get_sampler(tuple(cond.shape))
-        out = run(self.state.params, self.state.batch_stats, key, cond)
+        out = run(self.eval_params, self.state.batch_stats, key, cond)
         return out[:orig] if pad else out
 
     def sample(self, batch_size=1, key=None):
@@ -228,7 +258,7 @@ class DDPMModel:
             self._key, key = jax.random.split(self._key)
         shape = (batch_size, self.image_size, self.image_size, self.channels)
         run = self._get_sampler(shape, unconditional=True)
-        return run(self.state.params, self.state.batch_stats, key, None)
+        return run(self.eval_params, self.state.batch_stats, key, None)
 
     # ------------------------------------------------------- checkpoints
 

@@ -141,6 +141,84 @@ def test_mesh_inference_pad_exceeds_batch():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_finetune_norm_is_documented_noop():
+    """finetune_norm masks on 'transformer', which no UNet param path
+    contains — a faithful reference bug (model/model.py:26-35). Assert
+    the no-op and the warning so nobody trips on it silently."""
+    import copy
+    import logging
+
+    opt = copy.deepcopy(TINY_OPT)
+    opt["model"]["finetune_norm"] = True
+    logger = logging.getLogger("hsi_dmgasr_tpu")
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger.addHandler(h)
+    try:
+        ddpm = DDPMModel(opt, seed=0)
+    finally:
+        logger.removeHandler(h)
+    assert any("finetune_norm" in r.getMessage() for r in records)
+    before = jax.tree.map(np.asarray, ddpm.state.params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "HR": rng.rand(2, 16, 16, 3).astype(np.float32),
+        "SR": rng.rand(2, 16, 16, 3).astype(np.float32),
+    }
+    ddpm.train_step(batch, key=jax.random.PRNGKey(0))
+    after = jax.tree.map(np.asarray, ddpm.state.params)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+
+
+def test_ema_at_eval_switch():
+    """use_ema_for_eval samples from EMA params (which trail the live
+    params after updates), changing eval output; default uses live."""
+    import copy
+
+    opt = copy.deepcopy(TINY_OPT)
+    opt["train"]["ema_scheduler"] = {
+        "ema_decay": 0.5, "use_ema_for_eval": True,
+    }
+    ddpm = DDPMModel(opt, seed=0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "HR": rng.rand(2, 16, 16, 3).astype(np.float32),
+        "SR": rng.rand(2, 16, 16, 3).astype(np.float32),
+    }
+    for i in range(3):
+        ddpm.train_step(batch, key=jax.random.PRNGKey(i))
+    # EMA trails the live params now
+    p0 = jax.tree.leaves(ddpm.state.params)[0]
+    e0 = jax.tree.leaves(ddpm.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(e0))
+
+    cond = rng.rand(1, 16, 16, 3).astype(np.float32)
+    out_ema = ddpm.super_resolution(cond, key=jax.random.PRNGKey(7))
+    ddpm.use_ema_for_eval = False
+    out_live = ddpm.super_resolution(cond, key=jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(out_ema), np.asarray(out_live))
+
+
+def test_mesh_inference_equals_single_device():
+    """PARITY.md's claim pinned as a test: 8-device sharded reverse
+    diffusion == 1-device output (same key), flagship-like group count
+    padded 9 -> 16 (nn.DataParallel equivalence, model/networks.py:113)."""
+    rng = np.random.RandomState(3)
+    cond = rng.rand(9, 16, 16, 3).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+
+    one = DDPMModel(TINY_OPT, mesh=data_parallel_mesh(1), seed=0)
+    out1 = np.asarray(one.super_resolution(cond, key=key))
+
+    eight = DDPMModel(TINY_OPT, mesh=data_parallel_mesh(8), seed=0)
+    out8 = np.asarray(eight.super_resolution(cond, key=key))
+    assert out8.shape == out1.shape
+    # f32 reduction order differs across device partitions
+    np.testing.assert_allclose(out8, out1, atol=1e-4, rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     ddpm = DDPMModel(TINY_OPT, seed=0)
     rng = np.random.RandomState(0)
