@@ -18,10 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Below this token count the plain XLA einsum is faster than paying the
-# Pallas kernel's setup; 16x16 latents (the reference default attn_res)
-# have S=256.
-_PALLAS_MIN_TOKENS = 2048
+# Measured on a v5e chip (tools/microbench + BENCHMARKS.md "attention"):
+# XLA's fused softmax(QK^T)V matches the Pallas kernel to ~4% up through
+# S=4096 at D=512 (0.96-0.99x), Pallas wins 1.39x at S=8192/D=128, and
+# XLA OOMs outright at S=16384 (the (B,S,S) f32 logits exceed HBM) where
+# the streaming kernel keeps O(S) memory. Gate set from that data.
+_PALLAS_MIN_TOKENS = 8192
 
 
 def _xla_attention(q, k, v, scale):

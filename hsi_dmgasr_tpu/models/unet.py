@@ -365,8 +365,7 @@ class UNet(nn.Module):
                 li += 1
                 now_res *= 2
 
-        # final conv stays unfused: out_channel (3) is far below a lane
-        # tile and the fused kernel would pad 64x for nothing
         return Block(
-            self.out_channel, self.norm_groups, norm=self.norm, name="final_conv"
+            self.out_channel, self.norm_groups, norm=self.norm,
+            fuse=self.fuse_blocks, name="final_conv"
         )(h, train)
