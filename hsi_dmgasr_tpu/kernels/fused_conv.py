@@ -9,14 +9,25 @@ model/sr3_modules/unet.py:80-111) -- in two HBM passes over the
 activation instead of XLA's five:
 
   1. group stats (mean/rstd) via one XLA reduction read, folded into
-     per-(batch, channel) scale/shift vectors;
+     per-(batch, channel) scale/shift vectors -- or for free from
+     ``stats_in`` (per-channel [sum, sumsq] emitted by the PREVIOUS
+     fused call's epilogue, see ``emit_stats``);
   2. one Pallas pass per row-slab: the slab plus two 1-row halo blocks
      (clamped index maps; out-of-image halos masked to zero) are
-     norm+swish'ed in f32, assembled along the row axis, dx-shifted via
-     pltpu.roll with edge-column masks (the conv's SAME zero padding --
-     applied AFTER the activation, as in the unfused path), and fed to
-     9 MXU matmuls (one per kernel tap) accumulating in f32; the
-     epilogue adds bias / time-bias / residual and writes bf16.
+     norm+swish'ed in f32, dx-shifted via pltpu.roll with edge-column
+     masks (the conv's SAME zero padding -- applied AFTER the
+     activation, as in the unfused path), and fed to MXU matmuls (one
+     per dx, K = 3C) accumulating in f32; the epilogue adds bias /
+     time-bias / residual and writes bf16.
+
+Fusions beyond the Block itself:
+  * ``x2`` -- a second input treated as channel-concat [x, x2]: the
+    UNet's up-path skip concatenation never materializes; the kernel
+    reads both sources and runs separate K-matmuls per source.
+  * ``emit_stats`` -- the epilogue also accumulates per-channel
+    [sum, sumsq] of the OUTPUT across row-slabs into a tiny (B, 2,
+    Cout) f32 buffer, so the next Block's GroupNorm needs no extra
+    HBM read (intra-resblock stats chaining).
 
 Layout notes: Mosaic cannot concat or reshape sublane-misaligned
 slices and rotates only 32-bit data, hence the f32 roll + mask
@@ -62,13 +73,10 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
     return rows
 
 
-def _kernel(xc_ref, xp_ref, xn_ref, scale_ref, shift_ref, kmat_ref,
-            bias_ref, tb_ref, res_ref, o_ref, *, rows, H, W, C, Cout,
-            has_tb, has_res):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
-
+def _taps_matmul(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i, nb,
+                 rows, W, acc):
+    """norm+swish a source, assemble row/column taps, run 3 matmuls."""
+    C = cur.shape[-1]
     sc = scale_ref[b][None, None, :]
     sh = shift_ref[b][None, None, :]
 
@@ -76,9 +84,9 @@ def _kernel(xc_ref, xp_ref, xn_ref, scale_ref, shift_ref, kmat_ref,
         a = v.astype(jnp.float32) * sc + sh
         return a * jax.nn.sigmoid(a)
 
-    cur = actf(xc_ref[...])                     # (rows, W, C)
-    prev = actf(xp_ref[...])                    # (1, W, C) halo above
-    nxt = actf(xn_ref[...])                     # (1, W, C) halo below
+    cur = actf(cur)
+    prev = actf(prev)
+    nxt = actf(nxt)
     # clamped halo index maps re-read an in-image row at the edges;
     # zero them so the conv sees SAME zero padding
     prev = jnp.where(i > 0, prev, 0.0)
@@ -94,7 +102,6 @@ def _kernel(xc_ref, xp_ref, xn_ref, scale_ref, shift_ref, kmat_ref,
 
     # one matmul per dx with K = 3C: the dy taps are row-shifted slices
     # (major-dim offsets — concat-safe) stacked along the channel axis
-    acc = jnp.zeros((rows * W, Cout), jnp.float32)
     for dx in range(3):
         t = taps[dx].astype(jnp.bfloat16)
         cols = jnp.concatenate(
@@ -102,6 +109,34 @@ def _kernel(xc_ref, xp_ref, xn_ref, scale_ref, shift_ref, kmat_ref,
         ).reshape(rows * W, 3 * C)
         acc += jnp.dot(cols, kmat_ref[dx],
                        preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
+            emit_stats):
+    it = iter(refs)
+    xc_ref, xp_ref, xn_ref = next(it), next(it), next(it)
+    if has_x2:
+        x2c_ref, x2p_ref, x2n_ref = next(it), next(it), next(it)
+        kmat2_ref, scale2_ref, shift2_ref = next(it), next(it), next(it)
+    scale_ref, shift_ref, kmat_ref, bias_ref, tb_ref, res_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it)
+    )
+    o_ref = next(it)
+    o2_ref = next(it) if emit_stats else None
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    acc = jnp.zeros((rows * W, Cout), jnp.float32)
+    acc = _taps_matmul(xc_ref[...], xp_ref[...], xn_ref[...],
+                       scale_ref, shift_ref, kmat_ref,
+                       b, i, nb, rows, W, acc)
+    if has_x2:
+        acc = _taps_matmul(x2c_ref[...], x2p_ref[...], x2n_ref[...],
+                           scale2_ref, shift2_ref, kmat2_ref,
+                           b, i, nb, rows, W, acc)
 
     acc += bias_ref[0][None, :]
     if has_tb:
@@ -111,43 +146,94 @@ def _kernel(xc_ref, xp_ref, xn_ref, scale_ref, shift_ref, kmat_ref,
     out = acc.reshape(rows, W, Cout)
     if has_res:
         out = out + res_ref[...].astype(jnp.float32)
+
+    if emit_stats:
+        part = jnp.stack([jnp.sum(out, axis=(0, 1)),
+                          jnp.sum(jnp.square(out), axis=(0, 1))])
+
+        @pl.when(i == 0)
+        def _():
+            o2_ref[...] = part
+
+        @pl.when(i > 0)
+        def _():
+            o2_ref[...] = o2_ref[...] + part
+
     o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps):
+    """Fold per-channel mean / E[x^2] into per-(b,c) scale/shift."""
+    B, C = mean_c.shape
+    mean_g = jnp.mean(mean_c.reshape(B, G, C // G), axis=-1)
+    ex2_g = jnp.mean(ex2_c.reshape(B, G, C // G), axis=-1)
+    var = jnp.maximum(ex2_g - mean_g ** 2, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_bc = jnp.repeat(mean_g, C // G, axis=1)
+    rstd_bc = jnp.repeat(rstd, C // G, axis=1)
+    scale = rstd_bc * gn_scale[None, :].astype(jnp.float32)
+    shift = gn_bias[None, :].astype(jnp.float32) - mean_bc * scale
+    return scale, shift
+
+
+def _channel_moments(x):
+    xf = x.astype(jnp.float32)
+    return (jnp.mean(xf, axis=(1, 2)),
+            jnp.mean(jnp.square(xf), axis=(1, 2)))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_groups", "eps", "interpret", "rows"),
+    static_argnames=("num_groups", "eps", "interpret", "rows",
+                     "emit_stats"),
 )
 def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
-                     residual=None, num_groups=32, eps=1e-5,
-                     interpret=False, rows=None):
+                     residual=None, x2=None, stats_in=None, num_groups=32,
+                     eps=1e-5, interpret=False, rows=None,
+                     emit_stats=False):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
 
-    x: (B, H, W, C); gn_scale, gn_bias: (C,); kernel: (3, 3, C, Cout)
-    HWIO; bias: (Cout,); time_bias: optional (B, Cout) added to the conv
-    output (the SR3 FeatureWiseAffine shift, sr3_modules/unet.py:34-50);
-    residual: optional (B, H, W, Cout) added before the write.
-    Returns (B, H, W, Cout) in x.dtype.
+    x: (B, H, W, C); gn_scale, gn_bias: (C_total,); kernel:
+    (3, 3, C_total, Cout) HWIO; bias: (Cout,); time_bias: optional
+    (B, Cout) added to the conv output (the SR3 FeatureWiseAffine shift,
+    sr3_modules/unet.py:34-50); residual: optional (B, H, W, Cout) added
+    before the write; x2: optional (B, H, W, C2) second source treated
+    as channel-concat [x, x2] (C_total = C + C2) — the up-path skip
+    concat without materializing it; stats_in: optional (B, 2, C)
+    per-channel [sum, sumsq] of x over H*W (from a previous call's
+    emit_stats) replacing the stats read for x.
+
+    Returns (B, H, W, Cout) in x.dtype — or (out, stats) with
+    stats (B, 2, Cout) f32 per-channel [sum, sumsq] of out when
+    ``emit_stats``.
     """
     B, H, W, C = x.shape
+    C2 = x2.shape[-1] if x2 is not None else 0
     Cout = kernel.shape[-1]
     G = num_groups
+    hw = H * W
 
-    # ---- pass 1: group stats -> per-(b, c) scale/shift (one XLA read)
-    xg = x.reshape(B, H * W, G, C // G).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 3))                        # (B, G)
-    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - mean ** 2
-    rstd = jax.lax.rsqrt(var + eps)
-    mean_c = jnp.repeat(mean, C // G, axis=1)               # (B, C)
-    rstd_c = jnp.repeat(rstd, C // G, axis=1)
-    scale = rstd_c * gn_scale[None, :].astype(jnp.float32)
-    shift = gn_bias[None, :].astype(jnp.float32) - mean_c * scale
+    # ---- group stats -> per-(b, c) scale/shift over [x, x2]
+    if stats_in is not None:
+        mean_c = stats_in[:, 0].astype(jnp.float32) / hw
+        ex2_c = stats_in[:, 1].astype(jnp.float32) / hw
+    else:
+        mean_c, ex2_c = _channel_moments(x)
+    if x2 is not None:
+        m2, e2 = _channel_moments(x2)
+        mean_c = jnp.concatenate([mean_c, m2], axis=1)
+        ex2_c = jnp.concatenate([ex2_c, e2], axis=1)
+    scale, shift = _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps)
 
-    # (3, 3, C, Cout) -> (dx, dy*C + c, Cout): matches the kernel's
-    # concat-over-dy im2col ordering
-    kmat = jnp.transpose(kernel, (1, 0, 2, 3)).astype(
-        jnp.bfloat16
-    ).reshape(3, 3 * C, Cout)
+    # (3, 3, C_total, Cout) -> per-source (dx, dy*C + c, Cout) matching
+    # the kernel's concat-over-dy im2col ordering
+    def kprep(k):
+        return jnp.transpose(k, (1, 0, 2, 3)).astype(
+            jnp.bfloat16
+        ).reshape(3, -1, k.shape[-1])
+
+    kmat = kprep(kernel[:, :, :C])
+    kmat2 = kprep(kernel[:, :, C:]) if x2 is not None else None
     bias_f = bias.astype(jnp.float32).reshape(1, Cout)
 
     has_tb = time_bias is not None
@@ -158,48 +244,75 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
            else jnp.zeros((B, 1, 1, 1), jnp.bfloat16))
 
     if rows is None:
-        rows = _pick_rows(H, W, C, Cout)
+        rows = _pick_rows(H, W, C + C2, Cout)
     nb = H // rows
     xb = x.astype(jnp.bfloat16)
 
     # halo rows as their own 1-row blocks with clamped index maps
     # (overlapping windows are not expressible in one BlockSpec)
+    def cur_map(b, i):
+        return (b, i, 0, 0)
+
     def prev_map(b, i):
         return (b, jnp.maximum(i * rows - 1, 0), 0, 0)
 
     def next_map(b, i):
         return (b, jnp.minimum(i * rows + rows, H - 1), 0, 0)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, rows=rows, H=H, W=W, C=C, Cout=Cout,
-            has_tb=has_tb, has_res=has_res,
-        ),
+    def src_specs(c):
+        return [
+            pl.BlockSpec((None, rows, W, c), cur_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, W, c), prev_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, W, c), next_map,
+                         memory_space=pltpu.VMEM),
+        ]
+
+    in_specs = src_specs(C)
+    inputs = [xb, xb, xb]
+    if x2 is not None:
+        x2b = x2.astype(jnp.bfloat16)
+        in_specs += src_specs(C2)
+        inputs += [x2b, x2b, x2b]
+        # second source's kernel matrix and scale/shift (separate arrays:
+        # an in-kernel lane slice at offset C may be tile-misaligned)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        inputs += [kmat2, scale[:, C:], shift[:, C:]]
+        scale, shift = scale[:, :C], shift[:, :C]
+    # tiny per-batch vectors live whole in VMEM (per-batch (None, C)
+    # blocks would violate the (8, 128) tiling rule)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    inputs += [scale, shift, kmat, bias_f, tb]
+    in_specs.append(
+        pl.BlockSpec((None, rows, W, Cout), cur_map,
+                     memory_space=pltpu.VMEM) if has_res else
+        pl.BlockSpec((None, 1, 1, 1), lambda b, i: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    inputs.append(res)
+
+    out_shape = [jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)]
+    out_specs = [pl.BlockSpec((None, rows, W, Cout), cur_map,
+                              memory_space=pltpu.VMEM)]
+    if emit_stats:
+        # same (b)-block revisited every i step -> sequential accumulate
+        out_shape.append(jax.ShapeDtypeStruct((B, 2, Cout), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, 2, Cout),
+                                      lambda b, i: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def kernel_fn(*refs):
+        _kernel(refs, rows=rows, H=H, W=W, C=C, C2=C2, Cout=Cout,
+                has_tb=has_tb, has_res=has_res, has_x2=x2 is not None,
+                emit_stats=emit_stats)
+
+    result = pl.pallas_call(
+        kernel_fn,
         grid=(B, nb),
-        in_specs=[
-            pl.BlockSpec((None, rows, W, C), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, W, C), prev_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, W, C), next_map,
-                         memory_space=pltpu.VMEM),
-            # tiny per-batch vectors live whole in VMEM (per-batch
-            # (None, C) blocks would violate the (8, 128) tiling rule)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            (pl.BlockSpec((None, rows, W, Cout),
-                          lambda b, i: (b, i, 0, 0),
-                          memory_space=pltpu.VMEM) if has_res else
-             pl.BlockSpec((None, 1, 1, 1), lambda b, i: (b, 0, 0, 0),
-                          memory_space=pltpu.VMEM)),
-        ],
-        out_specs=pl.BlockSpec((None, rows, W, Cout),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
         interpret=interpret,
-    )(xb, xb, xb, scale, shift, kmat, bias_f, tb, res)
-    return out
+    )(*inputs)
+    return result

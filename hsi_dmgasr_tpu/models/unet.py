@@ -115,25 +115,35 @@ class Block(nn.Module):
     fuse: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False, time_bias=None, residual=None):
+    def __call__(self, x, train=False, time_bias=None, residual=None,
+                 x2=None, stats_in=None, emit_stats=False):
+        """x2: second source channel-concatenated with x (the up-path
+        skip) — the fused kernel reads it in place, the unfused path
+        concatenates. stats_in / emit_stats: per-channel [sum, sumsq]
+        chaining between consecutive fused Blocks."""
+        c_total = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         fuse = (self.fuse and not train and self.norm == "group"
-                and x.shape[-1] % self.norm_groups == 0
+                and c_total % self.norm_groups == 0
                 and not self.is_initializing())
         if fuse:
             from ..kernels.fused_conv import gn_swish_conv3x3
 
             gn_scale, gn_bias = Norm(
-                x.shape[-1], self.norm, self.norm_groups, name="norm"
-            )(x, train, params_only=True)
+                c_total, self.norm, self.norm_groups, name="norm"
+            )(jnp.zeros((1, 1, 1, c_total), x.dtype), train,
+              params_only=True)
             kernel, cbias = Conv2d(self.dim_out, 3, name="conv")(
-                x, params_only=True
+                jnp.zeros((1, 1, 1, c_total), x.dtype), params_only=True
             )
             interpret = jax.devices()[0].platform == "cpu"
             return gn_swish_conv3x3(
                 x, gn_scale, gn_bias, kernel, cbias,
-                time_bias=time_bias, residual=residual,
-                num_groups=self.norm_groups, interpret=interpret,
+                time_bias=time_bias, residual=residual, x2=x2,
+                stats_in=stats_in, num_groups=self.norm_groups,
+                interpret=interpret, emit_stats=emit_stats,
             )
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         x = Norm(x.shape[-1], self.norm, self.norm_groups, name="norm")(x, train)
         x = swish(x)
         if self.dropout > 0:
@@ -143,6 +153,13 @@ class Block(nn.Module):
             y = y + time_bias[:, None, None, :]
         if residual is not None:
             y = y + residual
+        if emit_stats:
+            yf = y.astype(jnp.float32)
+            stats = jnp.stack(
+                [jnp.sum(yf, axis=(1, 2)),
+                 jnp.sum(jnp.square(yf), axis=(1, 2))], axis=1
+            )
+            return y, stats
         return y
 
 
@@ -186,25 +203,63 @@ class ResnetBlock(nn.Module):
     fuse: bool = False
 
     @nn.compact
-    def __call__(self, x, emb, train=False):
+    def __call__(self, x, emb, train=False, x2=None, stats_in=None,
+                 emit_stats=False):
+        """x2: up-path skip tensor, logically concatenated with x
+        (unet.py:257-261); the fused path never materializes the concat.
+        stats_in: per-channel [sum, sumsq] of x from the previous fused
+        block; emit_stats: also return this resblock's output moments
+        (cross-resblock chaining — every chained GroupNorm saves one
+        full HBM stats read)."""
         fuse = (self.fuse and not train and self.norm == "group"
                 and not self.use_affine_level
                 and not self.is_initializing())
-        res = x
-        if x.shape[-1] != self.dim_out:
-            res = Conv2d(self.dim_out, 1, name="res_conv")(x)
+        c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+        if c_in != self.dim_out:
+            if fuse and x2 is not None:
+                # split the 1x1 res_conv across the two sources so the
+                # concat stays unmaterialized
+                rk, rb = Conv2d(self.dim_out, 1, name="res_conv")(
+                    jnp.zeros((1, 1, 1, c_in), x.dtype), params_only=True
+                )
+                c1 = x.shape[-1]
+                dn = ("NHWC", "HWIO", "NHWC")
+                res = (
+                    jax.lax.conv_general_dilated(
+                        x, rk[:, :, :c1].astype(x.dtype), (1, 1), "VALID",
+                        dimension_numbers=dn)
+                    + jax.lax.conv_general_dilated(
+                        x2, rk[:, :, c1:].astype(x.dtype), (1, 1), "VALID",
+                        dimension_numbers=dn)
+                    + rb.astype(x.dtype)
+                )
+            else:
+                xin = (jnp.concatenate([x, x2], axis=-1)
+                       if x2 is not None else x)
+                res = Conv2d(self.dim_out, 1, name="res_conv")(xin)
+        else:
+            res = (jnp.concatenate([x, x2], axis=-1)
+                   if x2 is not None else x)
         if fuse:
             # the time conditioning is a pure per-(b, c) bias and the
-            # residual a plain add — both ride the fused Block's epilogue
+            # residual a plain add — both ride the fused Block's
+            # epilogue; block1 also emits its output's channel moments
+            # so block2's GroupNorm needs no extra HBM stats read
             tb = (NoiseInjection(
                 self.dim_out, self.use_affine_level, self.discrete,
                 name="noise_func")(None, emb, bias_only=True)
                 if emb is not None else None)
-            h = Block(self.dim_out, self.norm_groups, norm=self.norm,
-                      fuse=True, name="block1")(x, train, time_bias=tb)
-            return Block(self.dim_out, self.norm_groups, self.dropout,
-                         self.norm, fuse=True, name="block2")(
-                h, train, residual=res)
+            h, s1 = Block(self.dim_out, self.norm_groups, norm=self.norm,
+                          fuse=True, name="block1")(
+                x, train, time_bias=tb, x2=x2, emit_stats=True,
+                stats_in=stats_in)
+            out = Block(self.dim_out, self.norm_groups, self.dropout,
+                        self.norm, fuse=True, name="block2")(
+                h, train, residual=res, stats_in=s1,
+                emit_stats=emit_stats)
+            return out if emit_stats else (out, None)
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         h = Block(self.dim_out, self.norm_groups, norm=self.norm, name="block1")(x, train)
         if emb is not None:
             h = NoiseInjection(
@@ -213,7 +268,7 @@ class ResnetBlock(nn.Module):
         h = Block(
             self.dim_out, self.norm_groups, self.dropout, self.norm, name="block2"
         )(h, train)
-        return h + res
+        return h + res, None
 
 
 class SelfAttention(nn.Module):
@@ -257,18 +312,24 @@ class ResnetBlocWithAttn(nn.Module):
     fuse: bool = False
 
     @nn.compact
-    def __call__(self, x, emb, train=False):
-        x = ResnetBlock(
+    def __call__(self, x, emb, train=False, x2=None, stats_in=None):
+        """Returns (out, stats): stats are the resblock output's
+        per-channel [sum, sumsq] for chaining into the next block's
+        GroupNorm, or None when attention (which changes the tensor)
+        sits in between / the fused path is off."""
+        x, stats = ResnetBlock(
             self.dim_out, self.norm_groups, self.dropout,
             norm=self.norm, discrete=self.discrete, fuse=self.fuse,
             name="res_block",
-        )(x, emb, train)
+        )(x, emb, train, x2=x2, stats_in=stats_in,
+          emit_stats=not self.with_attn)
         if self.with_attn:
             x = SelfAttention(
                 self.dim_out, norm_groups=self.norm_groups, norm=self.norm,
                 name="attn",
             )(x, train)
-        return x
+            stats = None
+        return x, stats
 
 
 class UNet(nn.Module):
@@ -314,36 +375,41 @@ class UNet(nn.Module):
         feats = []
 
         # --- down path: initial conv + res blocks + downsamples, every
-        # layer output pushed onto the skip stack (unet.py:196-211)
+        # layer output pushed onto the skip stack (unet.py:196-211).
+        # h_stats threads each fused block's output moments into the
+        # next GroupNorm (saves one HBM stats read per chained block);
+        # boundary convs/attention reset the chain.
         h = Conv2d(self.inner_channel, 3, name="downs_0")(x)
         feats.append(h)
+        h_stats = None
         li = 1
         for ind in range(num_mults):
             is_last = ind == num_mults - 1
             use_attn = now_res in self.attn_res
             ch = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks):
-                h = self._block(
+                h, h_stats = self._block(
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"downs_{li}",
-                )(h, emb, train)
+                )(h, emb, train, stats_in=h_stats)
                 feats.append(h)
                 li += 1
             if not is_last:
                 h = Conv2d(h.shape[-1], 3, stride=2, name=f"downs_{li}_conv")(h)
                 feats.append(h)
+                h_stats = None
                 li += 1
                 now_res //= 2
 
         # --- mid (unet.py:213-218)
-        h = self._block(
+        h, h_stats = self._block(
             h.shape[-1], self.norm_groups, self.dropout, True,
             self.norm, discrete, name="mid_0",
-        )(h, emb, train)
-        h = self._block(
+        )(h, emb, train, stats_in=h_stats)
+        h, h_stats = self._block(
             h.shape[-1], self.norm_groups, self.dropout, False,
             self.norm, discrete, name="mid_1",
-        )(h, emb, train)
+        )(h, emb, train, stats_in=h_stats)
 
         # --- up path with skip concat (unet.py:220-234, 257-261)
         li = 0
@@ -352,20 +418,22 @@ class UNet(nn.Module):
             use_attn = now_res in self.attn_res
             ch = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
-                h = jnp.concatenate([h, feats.pop()], axis=-1)
-                h = self._block(
+                # skip rides as a second source (x2): the fused kernel
+                # reads it without materializing the concat
+                h, h_stats = self._block(
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"ups_{li}",
-                )(h, emb, train)
+                )(h, emb, train, x2=feats.pop(), stats_in=h_stats)
                 li += 1
             if not is_last:
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
                 h = Conv2d(cc, 3, name=f"ups_{li}_conv")(h)
+                h_stats = None
                 li += 1
                 now_res *= 2
 
         return Block(
             self.out_channel, self.norm_groups, norm=self.norm,
             fuse=self.fuse_blocks, name="final_conv"
-        )(h, train)
+        )(h, train, stats_in=h_stats)

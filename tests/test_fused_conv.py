@@ -59,6 +59,53 @@ def test_fused_matches_unfused(shape, cout, extras):
     )
 
 
+def test_fused_two_source_concat():
+    """x2 fusion == Block on the materialized concat (up-path skips)."""
+    rng = np.random.RandomState(3)
+    b, h, w, c1, c2, cout = 2, 16, 16, 16, 8, 16
+    x = rng.randn(b, h, w, c1).astype(np.float32)
+    x2 = rng.randn(b, h, w, c2).astype(np.float32)
+    c = c1 + c2
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    want = _unfused(np.concatenate([x, x2], -1), gn_scale, gn_bias,
+                    kernel, bias)
+    got = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, x2=x2,
+                           num_groups=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.05, rtol=0.05)
+
+
+def test_fused_stats_chaining():
+    """emit_stats yields exact per-channel [sum, sumsq] of the output,
+    and feeding them back via stats_in reproduces the stats-read path."""
+    rng = np.random.RandomState(4)
+    b, h, w, c = 2, 16, 16, 16
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = np.ones(c, np.float32)
+    gn_bias = np.zeros(c, np.float32)
+    kernel = rng.randn(3, 3, c, c).astype(np.float32) / np.sqrt(9 * c)
+    bias = np.zeros(c, np.float32)
+    out, stats = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias,
+                                  num_groups=8, interpret=True,
+                                  emit_stats=True)
+    of = np.asarray(out, np.float32)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]),
+                               of.sum((1, 2)), rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(stats[:, 1]),
+                               (of ** 2).sum((1, 2)), rtol=2e-2, atol=1e-2)
+    # chained second block == second block with its own stats read
+    want = gn_swish_conv3x3(of, gn_scale, gn_bias, kernel, bias,
+                            num_groups=8, interpret=True)
+    got = gn_swish_conv3x3(of, gn_scale, gn_bias, kernel, bias,
+                           stats_in=stats, num_groups=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.05, rtol=0.05)
+
+
 def test_fused_unet_matches_unfused():
     """Whole-UNet equality: fuse_blocks=True must match the unfused
     forward (same params) to bf16 tolerance, incl. time-bias and
