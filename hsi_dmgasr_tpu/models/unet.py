@@ -201,6 +201,8 @@ class ResnetBlock(nn.Module):
     norm: str = "group"
     discrete: bool = False
     fuse: bool = False
+    fuse_skip: bool = True   # x2 rides the kernel vs materialized concat
+    fuse_stats: bool = True  # chain GroupNorm moments between blocks
 
     @nn.compact
     def __call__(self, x, emb, train=False, x2=None, stats_in=None,
@@ -214,6 +216,12 @@ class ResnetBlock(nn.Module):
         fuse = (self.fuse and not train and self.norm == "group"
                 and not self.use_affine_level
                 and not self.is_initializing())
+        if fuse and x2 is not None and not self.fuse_skip:
+            x = jnp.concatenate([x, x2], axis=-1)
+            x2 = None
+            stats_in = None
+        if not self.fuse_stats:
+            stats_in, emit_stats = None, False
         c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         if c_in != self.dim_out:
             if fuse and x2 is not None:
@@ -249,10 +257,11 @@ class ResnetBlock(nn.Module):
                 self.dim_out, self.use_affine_level, self.discrete,
                 name="noise_func")(None, emb, bias_only=True)
                 if emb is not None else None)
-            h, s1 = Block(self.dim_out, self.norm_groups, norm=self.norm,
-                          fuse=True, name="block1")(
-                x, train, time_bias=tb, x2=x2, emit_stats=True,
-                stats_in=stats_in)
+            b1 = Block(self.dim_out, self.norm_groups, norm=self.norm,
+                       fuse=True, name="block1")(
+                x, train, time_bias=tb, x2=x2,
+                emit_stats=self.fuse_stats, stats_in=stats_in)
+            h, s1 = b1 if self.fuse_stats else (b1, None)
             out = Block(self.dim_out, self.norm_groups, self.dropout,
                         self.norm, fuse=True, name="block2")(
                 h, train, residual=res, stats_in=s1,
@@ -310,6 +319,8 @@ class ResnetBlocWithAttn(nn.Module):
     norm: str = "group"
     discrete: bool = False
     fuse: bool = False
+    fuse_skip: bool = True
+    fuse_stats: bool = True
 
     @nn.compact
     def __call__(self, x, emb, train=False, x2=None, stats_in=None):
@@ -320,9 +331,10 @@ class ResnetBlocWithAttn(nn.Module):
         x, stats = ResnetBlock(
             self.dim_out, self.norm_groups, self.dropout,
             norm=self.norm, discrete=self.discrete, fuse=self.fuse,
+            fuse_skip=self.fuse_skip, fuse_stats=self.fuse_stats,
             name="res_block",
         )(x, emb, train, x2=x2, stats_in=stats_in,
-          emit_stats=not self.with_attn)
+          emit_stats=not self.with_attn and self.fuse_stats)
         if self.with_attn:
             x = SelfAttention(
                 self.dim_out, norm_groups=self.norm_groups, norm=self.norm,
@@ -349,12 +361,19 @@ class UNet(nn.Module):
     norm: str = "group"  # 'group' (sr3) | 'batch' (ddpm)
     remat: bool = False  # rematerialize resblocks (train big crops in HBM)
     fuse_blocks: bool = False  # Pallas fused GN+swish+conv at inference
+    # skip-concat fusion (x2): measured SLOWER on the flagship (4.72 vs
+    # 4.27 s/cube) — the second source adds halo streams and shrinks the
+    # row slab — so off by default; kept for narrower-VMEM configs
+    fuse_skip: bool = False
+    fuse_stats: bool = True    # GroupNorm stats chaining in fused blocks
 
     def _block(self, *args, name, **kwargs):
         cls = ResnetBlocWithAttn
         if self.remat:
             cls = nn.remat(cls, static_argnums=(3,))
-        return cls(*args, **kwargs, fuse=self.fuse_blocks, name=name)
+        return cls(*args, **kwargs, fuse=self.fuse_blocks,
+                   fuse_skip=self.fuse_skip, fuse_stats=self.fuse_stats,
+                   name=name)
 
     @nn.compact
     def __call__(self, x, time, train=False):
