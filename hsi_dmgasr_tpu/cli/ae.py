@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    # AEddp masked-reconstruction recipe (GAE/AEddp.py:196-247):
+    # --mask_p 0.6 --loss l1 reproduces the distributed stage-1 trainer
+    p.add_argument("--mask_p", type=float, default=0.0)
+    p.add_argument("--loss", choices=["hloss", "l1"], default="hloss")
     args = p.parse_args(argv)
 
     from .common import force_platform
@@ -51,6 +55,7 @@ def main(argv=None):
     trainer = GAETrainer(
         n_subs=args.n_subs, n_ovls=args.n_ovls, n_colors=args.n_colors,
         n_feats=args.n_feats, lr=args.lr, seed=args.seed,
+        mask_p=args.mask_p, loss=args.loss,
     )
     step = 0
     for epoch in range(args.epochs):

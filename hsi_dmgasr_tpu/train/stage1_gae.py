@@ -55,7 +55,7 @@ class GAETrainer:
                  lr=1e-4, la1=0.3, la2=0.1, mesh=None, seed=0,
                  example_hw=64, variables=None,
                  perceptual_fn: Optional[Callable] = None,
-                 perceptual_weight=1e-3):
+                 perceptual_weight=1e-3, mask_p=0.0, loss="hloss"):
         self.gae = GAE(
             n_subs=n_subs, n_ovls=n_ovls, n_colors=n_colors, n_feats=n_feats
         )
@@ -63,6 +63,11 @@ class GAETrainer:
             n_subs=n_subs, n_ovls=n_ovls, n_colors=n_colors, n_feats=n_feats
         )
         self.la1, self.la2 = la1, la2
+        # AEddp masked-reconstruction recipe (GAE/AEddp.py:196-247):
+        # zero a random fraction of the cube, train the AE to match the
+        # MASKED target with plain L1 (mask_p=0.6, loss='l1' there)
+        self.mask_p = mask_p
+        self.loss = loss
         self.perceptual_fn = perceptual_fn
         self.perceptual_weight = perceptual_weight
         if perceptual_fn is not None:
@@ -84,9 +89,18 @@ class GAETrainer:
         self._train_step = jax.jit(self._train_step_impl)
 
     def _train_step_impl(self, state, hr, key):
+        if self.mask_p > 0:
+            from ..models.gae import random_mask
+
+            k_mask, key = jax.random.split(key)
+            hr = random_mask(k_mask, hr, p=self.mask_p)
+
         def loss_fn(params):
             recon, _ = self.gae.apply({"params": params}, hr)
-            loss = h_loss(recon, hr, self.la1, self.la2)
+            if self.loss == "l1":
+                loss = jnp.mean(jnp.abs(recon - hr))
+            else:
+                loss = h_loss(recon, hr, self.la1, self.la2)
             if self.perceptual_fn is not None:
                 p = (self.perceptual_fn(recon, hr, key)
                      if self._perceptual_wants_key
