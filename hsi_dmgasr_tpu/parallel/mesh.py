@@ -50,6 +50,30 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def dmgasr_mesh(n_data: int, n_space: int = 1):
+    """2-D ('data', 'space') mesh: band groups / cubes ride 'data',
+    the image height rides 'space'.
+
+    Spatial sharding is the single-cube LATENCY axis the reference has
+    no equivalent for (DataParallel only splits the batch,
+    model/networks.py:113-115): under jit, XLA partitions every conv
+    over the H dimension and inserts halo exchanges / GroupNorm
+    all-reduces over ICI automatically."""
+    devs = jax.devices()[: n_data * n_space]
+    if len(devs) < n_data * n_space:
+        raise ValueError(
+            f"need {n_data * n_space} devices, have {len(devs)}"
+        )
+    return Mesh(np.array(devs).reshape(n_data, n_space),
+                ("data", "space"))
+
+
+def shard_spatial(mesh: Mesh, x, batch_axis="data", space_axis="space"):
+    """Place (B, H, W, C) arrays with B over 'data' and H over 'space'."""
+    sh = NamedSharding(mesh, P(batch_axis, space_axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), x)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data"):
     n = mesh.shape[axis]
     if global_batch % n:

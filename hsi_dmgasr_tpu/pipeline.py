@@ -155,6 +155,46 @@ class DMGASRPipeline:
         """GAE round-trip (no diffusion) — stage-1 quality check."""
         return jnp.clip(self.decode(self.encode(cube)), 0.0, 1.0)
 
+    def super_resolve_spatial(self, sr_cube, mesh, key=None):
+        """Single-cube LATENCY scaling over a 2-D ('data','space') mesh:
+        band groups ride 'data', image height rides 'space'. XLA
+        partitions every conv over H and inserts the halo exchanges and
+        GroupNorm all-reduces over ICI — a capability the reference's
+        DataParallel (batch-only) cannot express. Use the unfused UNet
+        (Pallas calls are not auto-partitionable over 'space')."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import replicate
+
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        sr = jax.device_put(
+            jnp.asarray(sr_cube),
+            NamedSharding(mesh, P(None, "space")),
+        )
+        gv = replicate(mesh, self.gae_variables)
+        z = self._encode(gv, sr)
+        b = sr.shape[0]
+        cond = self._fold(z)
+        # wrap-pad the (B*G) group batch to a 'data'-axis multiple
+        n_data = mesh.shape["data"]
+        orig = cond.shape[0]
+        pad = (-orig) % n_data
+        if pad:
+            cond = jnp.pad(cond, ((0, pad),) + ((0, 0),) * 3, mode="wrap")
+        cond = jax.device_put(
+            cond, NamedSharding(mesh, P("data", "space"))
+        )
+        params = replicate(mesh, self.ddpm.state.params)
+        stats = (replicate(mesh, self.ddpm.state.batch_stats)
+                 if self.ddpm.state.batch_stats is not None else None)
+        run = self.ddpm._get_sampler(tuple(cond.shape))
+        z_out = run(params, stats, key, cond)
+        if pad:
+            z_out = z_out[:orig]
+        y = self._decode(gv, self._unfold(z_out, b))
+        return jnp.clip(y, 0.0, 1.0)
+
     def super_resolve_tiled(self, sr_cube, tile=512, overlap=32, key=None):
         """Tiled inference for scenes larger than one shot handles.
 

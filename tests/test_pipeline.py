@@ -6,6 +6,7 @@ import pytest
 
 from hsi_dmgasr_tpu.models import GAE
 from hsi_dmgasr_tpu.parallel import data_parallel_mesh
+from hsi_dmgasr_tpu.parallel.mesh import dmgasr_mesh
 from hsi_dmgasr_tpu.pipeline import DMGASRPipeline
 from hsi_dmgasr_tpu.train import DDPMModel
 
@@ -217,6 +218,22 @@ def test_mesh_inference_equals_single_device():
     assert out8.shape == out1.shape
     # f32 reduction order differs across device partitions
     np.testing.assert_allclose(out8, out1, atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_sharded_inference_equals_single(tiny_pipeline):
+    """2x4 ('data','space') mesh: groups over data, H over space — the
+    single-cube latency mode. XLA inserts conv halo exchanges and
+    GroupNorm all-reduces; output must match the 1-device pipeline."""
+    rng = np.random.RandomState(7)
+    sr = rng.rand(1, 16, 16, 31).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+    want = np.asarray(tiny_pipeline.super_resolve(sr, key=key))
+    mesh = dmgasr_mesh(2, 4)
+    got = np.asarray(
+        tiny_pipeline.super_resolve_spatial(sr, mesh, key=key)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 def test_checkpoint_roundtrip(tmp_path):
