@@ -3,8 +3,16 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from .. import config as config_mod
+
+# The axon remote-TPU client keeps a replay journal of every uploaded
+# buffer (for reconnect replay); an unbounded journal leaks the full
+# training input stream on the host (~27 MB/step -> OOM-killed at 125 GB
+# after ~2200 steps, reproduced in tools-level probes). Compaction caps
+# it at a steady state. Must be set before the backend initializes.
+os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
 
 def force_platform(platform):
