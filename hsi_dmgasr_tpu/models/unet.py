@@ -446,8 +446,21 @@ class UNet(nn.Module):
                 li += 1
             if not is_last:
                 b, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
-                h = Conv2d(cc, 3, name=f"ups_{li}_conv")(h)
+                if (self.fuse_blocks and not train
+                        and not self.is_initializing()):
+                    # exact 4-phase 2x2 conv: never materializes the
+                    # nearest-upsampled intermediate (ops/fused_up.py)
+                    from ..ops.fused_up import up2_conv3x3
+
+                    kernel, cbias = Conv2d(cc, 3, name=f"ups_{li}_conv")(
+                        jnp.zeros((1, 1, 1, cc), h.dtype), params_only=True
+                    )
+                    h = up2_conv3x3(h, kernel, cbias)
+                else:
+                    h = jax.image.resize(
+                        h, (b, hh * 2, ww * 2, cc), method="nearest"
+                    )
+                    h = Conv2d(cc, 3, name=f"ups_{li}_conv")(h)
                 h_stats = None
                 li += 1
                 now_res *= 2

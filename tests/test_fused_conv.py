@@ -145,3 +145,51 @@ def test_fused_bf16_roundtrip_quality():
     sig = np.sqrt(np.mean(want ** 2))
     snr_db = 20 * np.log10(sig / (err + 1e-12))
     assert snr_db > 35, f"fused kernel SNR too low: {snr_db:.1f} dB"
+
+
+def test_up2_conv3x3_matches_resize_then_conv():
+    """ops/fused_up.up2_conv3x3 == conv3x3(nearest_x2(x)) exactly
+    (same math, float-order tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hsi_dmgasr_tpu.ops.fused_up import up2_conv3x3
+
+    rng = np.random.RandomState(0)
+    for (h, w, c, cout) in [(8, 8, 16, 16), (5, 7, 8, 4), (16, 16, 32, 32)]:
+        x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, c, cout) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+
+        up = jax.image.resize(x, (2, h * 2, w * 2, c), method="nearest")
+        ref = jax.lax.conv_general_dilated(
+            up, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        got = up2_conv3x3(x, k, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_unet_fused_up_path_matches_unfused():
+    """UNet with fuse_blocks (which now also fuses the up-boundary)
+    must match the unfused UNet on the same params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hsi_dmgasr_tpu.models.unet import UNet
+
+    kw = dict(in_channel=6, out_channel=3, inner_channel=8, norm_groups=4,
+              channel_mults=(1, 2), attn_res=(4,), res_blocks=1,
+              image_size=16)
+    net = UNet(**kw)
+    net_f = UNet(**kw, fuse_blocks=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 6), jnp.float32)
+    t = jnp.full((2, 1), 0.5, jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, t)
+    ref = net.apply(v, x, t)
+    got = net_f.apply(v, x, t)
+    # tolerance is set by the fused resblocks' bf16 matmuls (the
+    # up-boundary fusion itself is exact, see the test above)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
