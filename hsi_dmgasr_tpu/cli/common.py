@@ -38,11 +38,17 @@ def base_parser(default_config, default_phase="train"):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="override path.resume_state (orbax ckpt dir or "
+                        "torch '{prefix}' for {prefix}_gen.pth)")
+    p.add_argument("--experiments_root", type=str, default=None,
+                   help="pin the experiment dir (default: "
+                        "experiments/{name}_{timestamp})")
     return p
 
 
 def parse_opt(args):
-    return config_mod.parse(
+    opt = config_mod.parse(
         args.config,
         phase=args.phase,
         device_ids=args.gpu_ids,
@@ -51,4 +57,8 @@ def parse_opt(args):
         log_wandb_ckpt=getattr(args, "log_wandb_ckpt", False),
         log_eval=getattr(args, "log_eval", False),
         log_infer=getattr(args, "log_infer", False),
+        experiments_root=getattr(args, "experiments_root", None),
     )
+    if getattr(args, "resume", None):
+        opt["path"]["resume_state"] = args.resume
+    return opt

@@ -275,12 +275,20 @@ class DDPMModel:
         return path
 
     def load_checkpoint(self, path):
+        import re
+
         import orbax.checkpoint as ocp
 
         target = jax.tree.map(np.asarray, jax.device_get(self.state))
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), target)
         self.state = replicate(self.mesh, restored)
+        # resume the step counter from the reference-style I{it}_E{ep}
+        # name so a restarted driver continues where the run died
+        m = re.fullmatch(r"I(\d+)_E(\d+)", os.path.basename(path.rstrip("/")))
+        if m:
+            self.begin_step = int(m.group(1))
+            self.begin_epoch = int(m.group(2))
 
     def load_torch_resume(self, load_path):
         """Load a reference '{prefix}_gen.pth' state_dict, dropping the

@@ -184,7 +184,11 @@ def train(opt, seed=0, max_steps=None):
     per_group = bool(opt["train"].get("per_group_steps"))
 
     on_device_degr = bool(train_opt.get("on_device_degradation"))
-    current_step, current_epoch = 0, 0
+    current_step = getattr(pipeline.ddpm, "begin_step", 0)
+    current_epoch = getattr(pipeline.ddpm, "begin_epoch", 0)
+    if current_step:
+        logger.info("resuming at iter %d (epoch %d)",
+                    current_step, current_epoch)
     results = {}
     while current_step < n_iter:
         current_epoch += 1

