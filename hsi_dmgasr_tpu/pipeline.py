@@ -103,17 +103,27 @@ class DMGASRPipeline:
             self._degrade_cache[ck] = jax.jit(f)
         return self._degrade_cache[ck]
 
+    @staticmethod
+    def _to_f32(x):
+        """Accept half-precision host->device transfers (the tunnel
+        upload is the training bottleneck at ~25 MB/s; f16 halves it)
+        and widen on device before any compute."""
+        x = jnp.asarray(x)
+        if x.dtype in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        return x
+
     def train_step_from_hr(self, hr, scale=4, key=None, per_group=False):
         """Training step from HR crops only; SR derived on device."""
-        hr = jnp.asarray(hr)
+        hr = self._to_f32(hr)
         sr = self._degrade_fn((hr.shape[1], hr.shape[2]), scale)(hr)
         return self.train_step({"HR": hr, "SR": sr}, key=key,
                                per_group=per_group)
 
     def train_step(self, batch, key=None, per_group=False):
         """One diffusion update from a cube batch {'HR','SR'} (NHWC)."""
-        z_hr = self.encode(batch["HR"])
-        z_sr = self.encode(batch["SR"])
+        z_hr = self.encode(self._to_f32(batch["HR"]))
+        z_sr = self.encode(self._to_f32(batch["SR"]))
         if per_group:
             # reference dynamics: one optimizer step per band group
             # (sr_gae.py:245-250); each step draws fresh RNG

@@ -184,6 +184,31 @@ def train(opt, seed=0, max_steps=None):
     per_group = bool(opt["train"].get("per_group_steps"))
 
     on_device_degr = bool(train_opt.get("on_device_degradation"))
+    transfer_dtype = train_opt.get("transfer_dtype")  # e.g. "float16"
+
+    def _device_batches(loader):
+        """One-batch device prefetch: issue the (async) host->device
+        upload of batch i+1 while batch i's step runs — the tunnel
+        transfer (~1 s for a 27 MB f32 batch) otherwise serializes
+        with compute. ``transfer_dtype: float16`` halves it again
+        (widened back to f32 on device, pipeline._to_f32)."""
+        import jax
+
+        prev = None
+        for batch in loader:
+            d = {}
+            for k, v in batch.items():
+                if isinstance(v, np.ndarray):
+                    if transfer_dtype and v.dtype == np.float32:
+                        v = v.astype(transfer_dtype)
+                    v = jax.device_put(v)
+                d[k] = v
+            if prev is not None:
+                yield prev
+            prev = d
+        if prev is not None:
+            yield prev
+
     current_step = getattr(pipeline.ddpm, "begin_step", 0)
     current_epoch = getattr(pipeline.ddpm, "begin_epoch", 0)
     if current_step:
@@ -192,7 +217,7 @@ def train(opt, seed=0, max_steps=None):
     results = {}
     while current_step < n_iter:
         current_epoch += 1
-        for batch in train_loader:
+        for batch in _device_batches(train_loader):
             current_step += 1
             if current_step > n_iter:
                 break

@@ -254,3 +254,61 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not np.allclose(np.asarray(before), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(after), np.asarray(ref))
     assert int(ddpm2.state.step) == 1
+
+
+def test_train_step_half_precision_transfer(tiny_pipeline):
+    """float16 host->device transfer (stage2_driver transfer_dtype) is
+    widened on device and trains like the f32 path."""
+    rng = np.random.RandomState(7)
+    hr = rng.rand(2, 16, 16, 31).astype(np.float32)
+    l32 = tiny_pipeline.train_step_from_hr(hr, scale=2,
+                                           key=jax.random.PRNGKey(11))
+    l16 = tiny_pipeline.train_step_from_hr(hr.astype(np.float16), scale=2,
+                                           key=jax.random.PRNGKey(11))
+    assert np.isfinite(float(l16))
+    # same key, near-identical data -> near-identical loss
+    assert abs(float(l16) - float(l32)) < 5e-2 * max(1.0, abs(float(l32)))
+    batch16 = {"HR": hr.astype(np.float16), "SR": hr.astype(np.float16)}
+    assert np.isfinite(float(
+        tiny_pipeline.train_step(batch16, key=jax.random.PRNGKey(12))
+    ))
+
+
+def test_driver_device_prefetch_generator(synth_data, tmp_path):
+    """_device_batches preserves order/content and respects
+    transfer_dtype (uploads ride one batch ahead)."""
+    import jax.numpy as jnp
+
+    from hsi_dmgasr_tpu.data import DataLoader
+    from hsi_dmgasr_tpu.data.hs_datasets import HSTrainingData
+
+    ds = HSTrainingData(f"{synth_data}/mat_scenes", n_scale=2,
+                        base_size=8, augment=False, hr_only=True)
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    # crops are per-visit random: materialize one pass and reuse it
+    loader = [{k: v.copy() for k, v in b.items()} for b in loader]
+    host = [b["HR"].copy() for b in loader]
+
+    # mirror stage2_driver._device_batches inline (it is a closure)
+    def device_batches(loader, transfer_dtype):
+        prev = None
+        for batch in loader:
+            d = {}
+            for k, v in batch.items():
+                if isinstance(v, np.ndarray):
+                    if transfer_dtype and v.dtype == np.float32:
+                        v = v.astype(transfer_dtype)
+                    v = jax.device_put(v)
+                d[k] = v
+            if prev is not None:
+                yield prev
+            prev = d
+        if prev is not None:
+            yield prev
+
+    dev = list(device_batches(loader, "float16"))
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        assert db["HR"].dtype == jnp.float16
+        np.testing.assert_allclose(np.asarray(db["HR"], np.float32), hb,
+                                   atol=1e-3)
