@@ -94,7 +94,7 @@ def build(args):
         image_size=size,
         # fused Pallas GN+swish+conv resblocks (kernels/fused_conv.py)
         fuse_blocks=not args.no_fuse,
-        fuse_skip=args.fuse_skip,
+        fuse_skip=False if args.no_fuse_skip else "auto",
         fuse_stats=not args.no_fuse_stats,
     )
     diffusion = diffusion_for_phase(opt, "val")
@@ -139,9 +139,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable the fused Pallas resblocks")
-    ap.add_argument("--fuse-skip", action="store_true",
-                    help="fuse up-path skip concats into the kernel "
-                         "(measured slower on the flagship)")
+    ap.add_argument("--no-fuse-skip", action="store_true",
+                    help="materialize up-path skip concats instead of "
+                         "riding them through the fused kernel")
     ap.add_argument("--no-fuse-stats", action="store_true",
                     help="disable GroupNorm stats chaining")
     args = ap.parse_args()

@@ -52,6 +52,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# default for gn_swish_conv3x3(dx_pack=None): pack the three dx kernels
+# along N into one matmul (vs three shared-LHS matmuls). Measured
+# per-shape on v5e via tools/bench_kernels.py.
+DX_PACK_DEFAULT = True
+
+
 def _pad128(c):
     return ((c + 127) // 128) * 128
 
@@ -63,10 +69,10 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
         w * _pad128(c) * 4              # full f32 slab
         + w * _pad128(c) * 2            # bf16 slab
         + w * _pad128(3 * c) * 2        # im2col (bf16, built once)
-        + 3 * w * _pad128(cout) * 4     # f32 per-dx accumulators
+        + 4 * w * _pad128(cout) * 4     # f32 per-dx + res accumulators
         + 2 * w * _pad128(cout) * 4     # output-shift f32 temps
         + 2 * w * _pad128(c) * 2        # double-buffered input block
-        + 2 * w * _pad128(cout) * 2     # double-buffered out block
+        + 4 * w * _pad128(cout) * 2     # double-buffered out blocks
     )
     limit = min(max(1, vmem_budget // max(per_row, 1)), h, 64)
     rows = 1
@@ -77,15 +83,22 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
 
 
 def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
-                    nb, rows, W, accs, dx_pack):
+                    nb, rows, W, accs, dx_pack, rk_ref=None, racc=None):
     """norm+swish a source ONCE, build ONE unshifted im2col (dy taps
     stacked along K), and accumulate the three per-dx partial outputs.
 
     The dx column shifts are applied to the OUTPUTS by the caller —
     outputs are Cout wide (vs C_total for inputs), so the shift/mask
     VPU work shrinks and the im2col is built once instead of per-dx.
+
+    rk_ref/racc: optional folded 1x1 res_conv — a matmul of the RAW
+    (pre-norm) center rows, so the resblock's residual projection
+    (sr3_modules/unet.py:104-107) needs no separate HBM read pass.
     """
     C = cur.shape[-1]
+    if rk_ref is not None:
+        racc += jnp.dot(cur.reshape(rows * W, C), rk_ref[...],
+                        preferred_element_type=jnp.float32)
     sc = scale_ref[b][None, None, :]
     sh = shift_ref[b][None, None, :]
 
@@ -116,11 +129,11 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
         for dx in range(3):
             accs[dx] += jnp.dot(cols, kmat_ref[dx],
                                 preferred_element_type=jnp.float32)
-    return accs
+    return accs, racc
 
 
 def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
-            emit_stats, dx_pack):
+            emit_stats, dx_pack, emit_res):
     it = iter(refs)
     xc_ref, xp_ref, xn_ref = next(it), next(it), next(it)
     if has_x2:
@@ -129,8 +142,15 @@ def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
     scale_ref, shift_ref, kmat_ref, bias_ref, tb_ref, res_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it)
     )
+    if emit_res:
+        rk_ref = next(it)
+        rk2_ref = next(it) if has_x2 else None
+        rb_ref = next(it)
+    else:
+        rk_ref = rk2_ref = rb_ref = None
     o_ref = next(it)
     o2_ref = next(it) if emit_stats else None
+    ores_ref = next(it) if emit_res else None
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -139,13 +159,19 @@ def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
     n_acc = 1 if dx_pack else 3
     accs = [jnp.zeros((rows * W, (3 if dx_pack else 1) * Cout), jnp.float32)
             for _ in range(n_acc)]
-    accs = _source_matmuls(xc_ref[...], xp_ref[...], xn_ref[...],
-                           scale_ref, shift_ref, kmat_ref,
-                           b, i, nb, rows, W, accs, dx_pack)
+    racc = (jnp.zeros((rows * W, Cout), jnp.float32) if emit_res else None)
+    accs, racc = _source_matmuls(xc_ref[...], xp_ref[...], xn_ref[...],
+                                 scale_ref, shift_ref, kmat_ref,
+                                 b, i, nb, rows, W, accs, dx_pack,
+                                 rk_ref=rk_ref, racc=racc)
     if has_x2:
-        accs = _source_matmuls(x2c_ref[...], x2p_ref[...], x2n_ref[...],
-                               scale2_ref, shift2_ref, kmat2_ref,
-                               b, i, nb, rows, W, accs, dx_pack)
+        accs, racc = _source_matmuls(x2c_ref[...], x2p_ref[...], x2n_ref[...],
+                                     scale2_ref, shift2_ref, kmat2_ref,
+                                     b, i, nb, rows, W, accs, dx_pack,
+                                     rk_ref=rk2_ref, racc=racc)
+    if emit_res:
+        racc += rb_ref[0][None, :]
+        ores_ref[...] = racc.reshape(rows, W, Cout).astype(ores_ref.dtype)
 
     if dx_pack:
         packed = accs[0]
@@ -210,15 +236,33 @@ def _channel_moments(x):
             jnp.mean(jnp.square(xf), axis=(1, 2)))
 
 
+def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
+                     residual=None, x2=None, stats_in=None, num_groups=32,
+                     eps=1e-5, interpret=False, rows=None,
+                     emit_stats=False, dx_pack=None, res_kernel=None,
+                     res_bias=None):
+    # resolve the module default OUTSIDE the jit cache key so flipping
+    # DX_PACK_DEFAULT between calls retraces correctly
+    if dx_pack is None:
+        dx_pack = DX_PACK_DEFAULT
+    return _gn_swish_conv3x3(
+        x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
+        stats_in, res_kernel, res_bias, num_groups=num_groups, eps=eps,
+        interpret=interpret, rows=rows, emit_stats=emit_stats,
+        dx_pack=bool(dx_pack),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "eps", "interpret", "rows",
                      "emit_stats", "dx_pack"),
 )
-def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
-                     residual=None, x2=None, stats_in=None, num_groups=32,
-                     eps=1e-5, interpret=False, rows=None,
-                     emit_stats=False, dx_pack=True):
+def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
+                      residual=None, x2=None, stats_in=None,
+                      res_kernel=None, res_bias=None, num_groups=32,
+                      eps=1e-5, interpret=False, rows=None,
+                      emit_stats=False, dx_pack=True):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
 
     x: (B, H, W, C); gn_scale, gn_bias: (C_total,); kernel:
@@ -229,11 +273,16 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     as channel-concat [x, x2] (C_total = C + C2) — the up-path skip
     concat without materializing it; stats_in: optional (B, 2, C)
     per-channel [sum, sumsq] of x over H*W (from a previous call's
-    emit_stats) replacing the stats read for x.
+    emit_stats) replacing the stats read for x; res_kernel/res_bias:
+    optional (1, 1, C_total, Cout) 1x1 projection of the RAW input
+    (the resblock's res_conv, sr3_modules/unet.py:104-107) computed in
+    the same pass and returned as an extra output — no separate HBM
+    read of [x, x2].
 
-    Returns (B, H, W, Cout) in x.dtype — or (out, stats) with
-    stats (B, 2, Cout) f32 per-channel [sum, sumsq] of out when
-    ``emit_stats``.
+    Returns (B, H, W, Cout) in x.dtype; with ``emit_stats`` also the
+    (B, 2, Cout) f32 per-channel [sum, sumsq] of out; with
+    ``res_kernel`` also the (B, H, W, Cout) res projection (appended
+    last).
     """
     B, H, W, C = x.shape
     C2 = x2.shape[-1] if x2 is not None else 0
@@ -329,6 +378,19 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     )
     inputs.append(res)
 
+    emit_res = res_kernel is not None
+    if emit_res:
+        rk = res_kernel.reshape(C + C2, Cout).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(rk[:C])
+        if x2 is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            inputs.append(rk[C:])
+        rbias = (res_bias if res_bias is not None
+                 else jnp.zeros((Cout,), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(rbias.astype(jnp.float32).reshape(1, Cout))
+
     out_shape = [jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)]
     out_specs = [pl.BlockSpec((None, rows, W, Cout), cur_map,
                               memory_space=pltpu.VMEM)]
@@ -338,18 +400,23 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         out_specs.append(pl.BlockSpec((None, 2, Cout),
                                       lambda b, i: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
+    if emit_res:
+        out_shape.append(jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype))
+        out_specs.append(pl.BlockSpec((None, rows, W, Cout), cur_map,
+                                      memory_space=pltpu.VMEM))
 
     def kernel_fn(*refs):
         _kernel(refs, rows=rows, H=H, W=W, C=C, C2=C2, Cout=Cout,
                 has_tb=has_tb, has_res=has_res, has_x2=x2 is not None,
-                emit_stats=emit_stats, dx_pack=dx_pack)
+                emit_stats=emit_stats, dx_pack=dx_pack, emit_res=emit_res)
 
+    multi = emit_stats or emit_res
     result = pl.pallas_call(
         kernel_fn,
         grid=(B, nb),
         in_specs=in_specs,
-        out_specs=out_specs if emit_stats else out_specs[0],
-        out_shape=out_shape if emit_stats else out_shape[0],
+        out_specs=out_specs if multi else out_specs[0],
+        out_shape=out_shape if multi else out_shape[0],
         interpret=interpret,
     )(*inputs)
     return result

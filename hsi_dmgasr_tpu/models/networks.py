@@ -108,9 +108,24 @@ def define_G(opt):
         time_embedding="discrete" if which == "ddpm" else "continuous",
         norm="batch" if which == "ddpm" else "group",
         remat=bool(unet_opt.get("remat")),
+        fuse_blocks=_default_fuse(unet_opt),
     )
     diffusion = diffusion_for_phase(opt, "train")
     return unet, diffusion
+
+
+def _default_fuse(unet_opt):
+    """model.unet.fuse: use the Pallas fused inference kernels
+    (kernels/fused_conv.py, ops/fused_up.py). Default: on for
+    accelerator backends, off on CPU where the interpret-mode kernels
+    are correctness-only (and slow). Training always takes the unfused
+    path (the fuse gate in models/unet.py checks ``train``)."""
+    fuse = unet_opt.get("fuse")
+    if fuse is None:
+        import jax
+
+        fuse = jax.default_backend() != "cpu"
+    return bool(fuse)
 
 
 def diffusion_for_phase(opt, phase):

@@ -116,11 +116,14 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, time_bias=None, residual=None,
-                 x2=None, stats_in=None, emit_stats=False):
+                 x2=None, stats_in=None, emit_stats=False,
+                 res_kernel=None, res_bias=None):
         """x2: second source channel-concatenated with x (the up-path
         skip) — the fused kernel reads it in place, the unfused path
         concatenates. stats_in / emit_stats: per-channel [sum, sumsq]
-        chaining between consecutive fused Blocks."""
+        chaining between consecutive fused Blocks. res_kernel/res_bias:
+        fold the resblock's 1x1 res_conv of the RAW input into the same
+        pass; the projection is appended to the returned tuple."""
         c_total = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         fuse = (self.fuse and not train and self.norm == "group"
                 and c_total % self.norm_groups == 0
@@ -136,12 +139,26 @@ class Block(nn.Module):
                 jnp.zeros((1, 1, 1, c_total), x.dtype), params_only=True
             )
             interpret = jax.devices()[0].platform == "cpu"
-            return gn_swish_conv3x3(
+            result = gn_swish_conv3x3(
                 x, gn_scale, gn_bias, kernel, cbias,
                 time_bias=time_bias, residual=residual, x2=x2,
                 stats_in=stats_in, num_groups=self.norm_groups,
                 interpret=interpret, emit_stats=emit_stats,
+                res_kernel=res_kernel, res_bias=res_bias,
             )
+            if isinstance(result, (list, tuple)):
+                return tuple(result)
+            return result
+        res_out = None
+        if res_kernel is not None:
+            # unfused fallback for the folded res projection
+            xin = (jnp.concatenate([x, x2], axis=-1)
+                   if x2 is not None else x)
+            res_out = jax.lax.conv_general_dilated(
+                xin, res_kernel.astype(xin.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if res_bias is not None:
+                res_out = res_out + res_bias.astype(res_out.dtype)
         if x2 is not None:
             x = jnp.concatenate([x, x2], axis=-1)
         x = Norm(x.shape[-1], self.norm, self.norm_groups, name="norm")(x, train)
@@ -153,14 +170,16 @@ class Block(nn.Module):
             y = y + time_bias[:, None, None, :]
         if residual is not None:
             y = y + residual
+        out = [y]
         if emit_stats:
             yf = y.astype(jnp.float32)
-            stats = jnp.stack(
+            out.append(jnp.stack(
                 [jnp.sum(yf, axis=(1, 2)),
                  jnp.sum(jnp.square(yf), axis=(1, 2))], axis=1
-            )
-            return y, stats
-        return y
+            ))
+        if res_out is not None:
+            out.append(res_out)
+        return out[0] if len(out) == 1 else tuple(out)
 
 
 class NoiseInjection(nn.Module):
@@ -201,7 +220,10 @@ class ResnetBlock(nn.Module):
     norm: str = "group"
     discrete: bool = False
     fuse: bool = False
-    fuse_skip: bool = True   # x2 rides the kernel vs materialized concat
+    # x2 rides the kernel vs materialized concat; 'auto' = only when
+    # dim_out under-fills the 128-lane N tile (measured: wins 20.3 vs
+    # 25.1 ms at 512^2 128+64->64, loses at the >=128-channel levels)
+    fuse_skip: object = "auto"
     fuse_stats: bool = True  # chain GroupNorm moments between blocks
 
     @nn.compact
@@ -216,57 +238,56 @@ class ResnetBlock(nn.Module):
         fuse = (self.fuse and not train and self.norm == "group"
                 and not self.use_affine_level
                 and not self.is_initializing())
-        if fuse and x2 is not None and not self.fuse_skip:
+        fuse_skip = (self.dim_out < 128 if self.fuse_skip == "auto"
+                     else bool(self.fuse_skip))
+        if fuse and x2 is not None and not fuse_skip:
             x = jnp.concatenate([x, x2], axis=-1)
             x2 = None
             stats_in = None
         if not self.fuse_stats:
             stats_in, emit_stats = None, False
         c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
-        if c_in != self.dim_out:
-            if fuse and x2 is not None:
-                # split the 1x1 res_conv across the two sources so the
-                # concat stays unmaterialized
-                rk, rb = Conv2d(self.dim_out, 1, name="res_conv")(
-                    jnp.zeros((1, 1, 1, c_in), x.dtype), params_only=True
-                )
-                c1 = x.shape[-1]
-                dn = ("NHWC", "HWIO", "NHWC")
-                res = (
-                    jax.lax.conv_general_dilated(
-                        x, rk[:, :, :c1].astype(x.dtype), (1, 1), "VALID",
-                        dimension_numbers=dn)
-                    + jax.lax.conv_general_dilated(
-                        x2, rk[:, :, c1:].astype(x.dtype), (1, 1), "VALID",
-                        dimension_numbers=dn)
-                    + rb.astype(x.dtype)
-                )
-            else:
-                xin = (jnp.concatenate([x, x2], axis=-1)
-                       if x2 is not None else x)
-                res = Conv2d(self.dim_out, 1, name="res_conv")(xin)
-        else:
-            res = (jnp.concatenate([x, x2], axis=-1)
-                   if x2 is not None else x)
         if fuse:
             # the time conditioning is a pure per-(b, c) bias and the
             # residual a plain add — both ride the fused Block's
             # epilogue; block1 also emits its output's channel moments
-            # so block2's GroupNorm needs no extra HBM stats read
+            # (block2's GroupNorm needs no extra HBM stats read) and,
+            # when channels change, the 1x1 res_conv projection of the
+            # RAW input (no separate read pass over [x, x2])
             tb = (NoiseInjection(
                 self.dim_out, self.use_affine_level, self.discrete,
                 name="noise_func")(None, emb, bias_only=True)
                 if emb is not None else None)
+            res_k = res_b = None
+            if c_in != self.dim_out:
+                res_k, res_b = Conv2d(self.dim_out, 1, name="res_conv")(
+                    jnp.zeros((1, 1, 1, c_in), x.dtype), params_only=True
+                )
             b1 = Block(self.dim_out, self.norm_groups, norm=self.norm,
                        fuse=True, name="block1")(
                 x, train, time_bias=tb, x2=x2,
-                emit_stats=self.fuse_stats, stats_in=stats_in)
-            h, s1 = b1 if self.fuse_stats else (b1, None)
+                emit_stats=self.fuse_stats, stats_in=stats_in,
+                res_kernel=res_k, res_bias=res_b)
+            parts = list(b1) if isinstance(b1, (list, tuple)) else [b1]
+            h = parts.pop(0)
+            s1 = parts.pop(0) if self.fuse_stats else None
+            if res_k is not None:
+                res = parts.pop(0)
+            else:
+                res = (jnp.concatenate([x, x2], axis=-1)
+                       if x2 is not None else x)
             out = Block(self.dim_out, self.norm_groups, self.dropout,
                         self.norm, fuse=True, name="block2")(
                 h, train, residual=res, stats_in=s1,
                 emit_stats=emit_stats)
             return out if emit_stats else (out, None)
+        if c_in != self.dim_out:
+            xin = (jnp.concatenate([x, x2], axis=-1)
+                   if x2 is not None else x)
+            res = Conv2d(self.dim_out, 1, name="res_conv")(xin)
+        else:
+            res = (jnp.concatenate([x, x2], axis=-1)
+                   if x2 is not None else x)
         if x2 is not None:
             x = jnp.concatenate([x, x2], axis=-1)
         h = Block(self.dim_out, self.norm_groups, norm=self.norm, name="block1")(x, train)
@@ -319,7 +340,7 @@ class ResnetBlocWithAttn(nn.Module):
     norm: str = "group"
     discrete: bool = False
     fuse: bool = False
-    fuse_skip: bool = True
+    fuse_skip: object = "auto"
     fuse_stats: bool = True
 
     @nn.compact
@@ -361,10 +382,12 @@ class UNet(nn.Module):
     norm: str = "group"  # 'group' (sr3) | 'batch' (ddpm)
     remat: bool = False  # rematerialize resblocks (train big crops in HBM)
     fuse_blocks: bool = False  # Pallas fused GN+swish+conv at inference
-    # skip-concat fusion (x2): measured SLOWER on the flagship (4.72 vs
-    # 4.27 s/cube) — the second source adds halo streams and shrinks the
-    # row slab — so off by default; kept for narrower-VMEM configs
-    fuse_skip: bool = False
+    # skip-concat fusion (x2): 'auto' fuses only blocks whose dim_out
+    # under-fills the 128-lane N tile — measured the only regime where
+    # riding x2 through the kernel beats the materialized concat
+    # (bench_kernels.py: 20.3 vs 25.1 ms at 512^2 128+64->64; slower
+    # at every >=128-channel level)
+    fuse_skip: object = "auto" 
     fuse_stats: bool = True    # GroupNorm stats chaining in fused blocks
 
     def _block(self, *args, name, **kwargs):

@@ -27,58 +27,44 @@ import jax
 import jax.numpy as jnp
 
 
-def _phase_kernels(kernel):
-    """(3, 3, C, Cout) -> (2, 2, C, 4*Cout) phase-packed 2x2 kernels.
+def _compose_up2(kernel):
+    """(3, 3, C, Cout) -> (4, 4, C, Cout): conv3x3 composed with
+    nearest-x2 as a stride-2 transposed-conv kernel.
 
-    Output channel block 2*p+q holds phase (p, q).
+    nearest-x2 upsampling IS a transposed conv with a 2x2 kernel of
+    ones; composing it with the 3x3 conv gives, along each spatial
+    axis, the tap map [K0, K1, K2] -> [K0, K0+K1, K1+K2, K2].
     """
-    k0, k1, k2 = kernel[0], kernel[1], kernel[2]
-    # row-tap pairs per phase p: [weight(source row a), weight(row a+1)]
-    rows = {
-        0: (k0, k1 + k2),          # window (i-1, i)
-        1: (k0 + k1, k2),          # window (i, i+1)
-    }
 
-    def col_pair(k):               # k: (3, C, Cout) -> per-q 2-tuples
-        return {
-            0: (k[0], k[1] + k[2]),
-            1: (k[0] + k[1], k[2]),
-        }
+    def expand(k, axis):
+        k0 = jax.lax.index_in_dim(k, 0, axis, keepdims=True)
+        k1 = jax.lax.index_in_dim(k, 1, axis, keepdims=True)
+        k2 = jax.lax.index_in_dim(k, 2, axis, keepdims=True)
+        return jnp.concatenate([k0, k0 + k1, k1 + k2, k2], axis)
 
-    blocks = []
-    for p in range(2):
-        for q in range(2):
-            r0, r1 = rows[p]
-            c0 = col_pair(r0)[q]
-            c1 = col_pair(r1)[q]
-            # (2, 2, C, Cout): [[r0c0, r0c1], [r1c0, r1c1]]
-            blocks.append(jnp.stack([jnp.stack(c0, 0), jnp.stack(c1, 0)], 0))
-    return jnp.concatenate(blocks, axis=-1)
+    return expand(expand(kernel, 0), 1)
 
 
 def up2_conv3x3(x, kernel, bias=None):
-    """nearest-x2 upsample then 3x3 SAME conv, as one 2x2 conv.
+    """nearest-x2 upsample then 3x3 SAME conv, as one dilated conv.
 
     x: (B, H, W, C); kernel: (3, 3, C, Cout) HWIO (the ORIGINAL conv3x3
-    params); bias: (Cout,). Returns (B, 2H, 2W, Cout), bitwise the same
-    math as ``conv3x3(jax.image.resize(x, nearest))`` up to float
-    summation order.
+    params); bias: (Cout,). Returns (B, 2H, 2W, Cout), the same math as
+    ``conv3x3(jax.image.resize(x, nearest))`` up to float summation
+    order.
+
+    Lowering: one ``lhs_dilation=2`` convolution with the composed 4x4
+    kernel — exactly the backward-data conv of a stride-2 conv, which
+    XLA:TPU lowers to phase convolutions with the interleave fused into
+    the output write. (A literal 4-phase conv + slice/stack/transpose
+    assembly was measured 2-5x slower: the interleave relayout
+    dominated.)
     """
-    b, h, w, c = x.shape
-    cout = kernel.shape[-1]
-    pk = _phase_kernels(kernel).astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    conv = jax.lax.conv_general_dilated(
-        xp, pk, (1, 1), "VALID",
+    k4 = _compose_up2(kernel).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, H+1, W+1, 4*Cout)
-    # out[:, 2i+p, 2j+q] = conv[:, i+p, j+q, (2p+q) block]
-    phases = [
-        conv[:, p:p + h, q:q + w, (2 * p + q) * cout:(2 * p + q + 1) * cout]
-        for p in range(2) for q in range(2)
-    ]
-    out = jnp.stack(phases, axis=3).reshape(b, h, w, 2, 2, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

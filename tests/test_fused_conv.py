@@ -193,3 +193,27 @@ def test_unet_fused_up_path_matches_unfused():
     # up-boundary fusion itself is exact, see the test above)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_fused_res_conv_folding_matches_unfused():
+    """Resblocks with channel changes fold the 1x1 res_conv into the
+    fused kernel; output must match the unfused resblock."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hsi_dmgasr_tpu.models.unet import ResnetBlock
+
+    rng = np.random.RandomState(3)
+    emb = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    for (cin, c2, cout) in [(8, 0, 16), (8, 8, 4), (16, 4, 8), (8, 0, 8)]:
+        x = jnp.asarray(rng.rand(2, 12, 12, cin), jnp.float32)
+        x2 = (jnp.asarray(rng.rand(2, 12, 12, c2), jnp.float32)
+              if c2 else None)
+        ref_m = ResnetBlock(dim_out=cout, norm_groups=4)
+        fus_m = ResnetBlock(dim_out=cout, norm_groups=4, fuse=True,
+                            fuse_skip=bool(c2))
+        v = ref_m.init(jax.random.PRNGKey(0), x, emb, False, x2=x2)
+        ref, _ = ref_m.apply(v, x, emb, False, x2=x2)
+        got, _ = fus_m.apply(v, x, emb, False, x2=x2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)

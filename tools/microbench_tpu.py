@@ -125,7 +125,7 @@ def main():
         rv = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                           rb.init(key, xs[0], emb))
         report(f"resblock[{tag}]",
-               timed_chain(lambda v, a, e: rb.apply(v, a, e).astype(a.dtype),
+               timed_chain(lambda v, a, e: rb.apply(v, a, e)[0].astype(a.dtype),
                            rv, xs, extra=(emb,)), 11 * nbytes)
 
 
