@@ -57,11 +57,25 @@ def main(argv=None):
         n_feats=args.n_feats, lr=args.lr, seed=args.seed,
         mask_p=args.mask_p, loss=args.loss,
     )
-    step = 0
-    for epoch in range(args.epochs):
+    def device_batches():
+        """f16 upload + one-batch async prefetch (the tunnel transfer
+        otherwise serializes with compute, see stage2_driver)."""
+        import jax
+
+        prev = None
         for batch in loader:
             hr = batch["HR"] if isinstance(batch, dict) else batch[1]
-            loss = trainer.train_step(np.asarray(hr))
+            d = jax.device_put(np.asarray(hr, np.float16))
+            if prev is not None:
+                yield prev
+            prev = d
+        if prev is not None:
+            yield prev
+
+    step = 0
+    for epoch in range(args.epochs):
+        for hr in device_batches():
+            loss = trainer.train_step(hr)
             step += 1
             if step % 10 == 0:
                 logger.info("epoch %d step %d loss %.5f", epoch, step, float(loss))

@@ -112,10 +112,15 @@ class GAETrainer:
         return state.apply_gradients(self.tx, grads), loss
 
     def train_step(self, hr, key=None):
-        """One Adam step on an HR cube batch (B, H, W, C)."""
+        """One Adam step on an HR cube batch (B, H, W, C). Accepts
+        half-precision host->device transfers (widened on device —
+        the tunnel upload is the loop bottleneck, see BENCHMARKS)."""
         if key is None:
             self._key, key = jax.random.split(self._key)
-        hr = shard_batch(self.mesh, jnp.asarray(hr))
+        hr = jnp.asarray(hr)
+        if hr.dtype in (jnp.float16, jnp.bfloat16):
+            hr = hr.astype(jnp.float32)
+        hr = shard_batch(self.mesh, hr)
         self.state, loss = self._train_step(self.state, hr, key)
         return loss
 

@@ -34,3 +34,20 @@ def test_compare_cli(tmp_path, capsys):
           "--pixels", "0,0", "2,3", "--out", str(tmp_path / "s.csv")])
     lines = open(tmp_path / "s.csv").read().strip().split("\n")
     assert len(lines) == 2 and lines[0].startswith("0_0,")
+
+def test_ae_cli_smoke(synth_data, tmp_path):
+    """Stage-1 CLI end-to-end on scene data: f16 device-prefetch loop,
+    two steps, checkpoint written and loadable."""
+    from hsi_dmgasr_tpu.cli import ae
+    from hsi_dmgasr_tpu.train.stage1_gae import GAETrainer
+
+    out = str(tmp_path / "gae_ckpt")
+    ae.main([
+        "--data", f"{synth_data}/mat_scenes", "--datatype", "hsi_mat",
+        "--epochs", "1", "--batch_size", "2", "--max_steps", "2",
+        "--n_subs", "8", "--n_ovls", "2", "--n_colors", "31",
+        "--n_feats", "8", "--scale", "2", "--out", out,
+        "--platform", "cpu",
+    ])
+    variables = GAETrainer.load_gae_variables(out)
+    assert variables is not None
