@@ -151,7 +151,9 @@ def setup_logger(logger_name, root, phase, level=None, screen=False):
         datefmt="%y-%m-%d %H:%M:%S",
     )
     log_file = os.path.join(root, "{}.log".format(phase))
-    fh = logging.FileHandler(log_file, mode="w")
+    # append: a supervised restart (cli/sr_gae.py --supervise) reuses
+    # the experiment dir and must not truncate the training curve
+    fh = logging.FileHandler(log_file, mode="a")
     fh.setFormatter(formatter)
     l.setLevel(level)
     l.addHandler(fh)
