@@ -66,8 +66,8 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
     """Largest divisor-of-H row-slab whose (lane-padded) VMEM working
     set fits the budget."""
     per_row = (
-        w * _pad128(c) * 4              # full f32 slab
-        + w * _pad128(c) * 2            # bf16 slab
+        w * _pad128(c) * 2              # activated bf16 slab
+        + w * _pad128(c) * 2            # halo/mask temps
         + w * _pad128(3 * c) * 2        # im2col (bf16, built once)
         + 4 * w * _pad128(cout) * 4     # f32 per-dx + res accumulators
         + 2 * w * _pad128(cout) * 4     # output-shift f32 temps
@@ -103,19 +103,21 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
     sh = shift_ref[b][None, None, :]
 
     def actf(v):
+        # norm+swish in f32 registers, stored bf16 (the matmul input
+        # dtype) — no f32 slab materialization
         a = v.astype(jnp.float32) * sc + sh
-        return a * jax.nn.sigmoid(a)
+        return (a * jax.nn.sigmoid(a)).astype(jnp.bfloat16)
 
     cur = actf(cur)
     prev = actf(prev)
     nxt = actf(nxt)
     # clamped halo index maps re-read an in-image row at the edges;
     # zero them so the conv sees SAME zero padding
-    prev = jnp.where(i > 0, prev, 0.0)
-    nxt = jnp.where(i < nb - 1, nxt, 0.0)
-    full = jnp.concatenate([prev, cur, nxt], axis=0)  # (rows+2, W, C)
+    zero = jnp.bfloat16(0)
+    prev = jnp.where(i > 0, prev, zero)
+    nxt = jnp.where(i < nb - 1, nxt, zero)
+    t = jnp.concatenate([prev, cur, nxt], axis=0)  # (rows+2, W, C) bf16
 
-    t = full.astype(jnp.bfloat16)
     cols = jnp.concatenate(
         [t[0:rows], t[1:rows + 1], t[2:rows + 2]], axis=-1
     ).reshape(rows * W, 3 * C)
