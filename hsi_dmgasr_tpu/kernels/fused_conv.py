@@ -292,6 +292,38 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     G = num_groups
     hw = H * W
 
+    if Cout % 8 != 0:
+        # sublane-align the output channels (the final_conv's Cout=3
+        # otherwise forces misaligned-lane stores); slice after
+        pad = 8 - Cout % 8
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        bias = jnp.pad(bias, (0, pad))
+        if time_bias is not None:
+            time_bias = jnp.pad(time_bias, ((0, 0), (0, pad)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0),) * 3 + ((0, pad),))
+        if res_kernel is not None:
+            res_kernel = jnp.pad(res_kernel,
+                                 ((0, 0),) * 3 + ((0, pad),))
+            if res_bias is not None:
+                res_bias = jnp.pad(res_bias, (0, pad))
+        out = _gn_swish_conv3x3(
+            x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
+            stats_in, res_kernel, res_bias, num_groups=num_groups,
+            eps=eps, interpret=interpret, rows=rows,
+            emit_stats=emit_stats, dx_pack=dx_pack,
+        )
+        parts = list(out) if isinstance(out, (list, tuple)) else [out]
+        parts[0] = parts[0][..., :Cout]
+        if emit_stats:
+            # recompute exact moments of the sliced output on the host
+            # side of the kernel (stats of padded channels are zeros,
+            # slicing the stats vector is enough)
+            parts[1] = parts[1][:, :, :Cout]
+        if res_kernel is not None:
+            parts[-1] = parts[-1][..., :Cout]
+        return parts[0] if len(parts) == 1 else tuple(parts)
+
     # N-packing only pays when Cout under-fills the 128-lane N tile, and
     # the packed-output lane slices must sit on sublane-rotatable 64-
     # multiples (Cout=3 final_conv, Cout>=128 up blocks: plain matmuls)
