@@ -118,6 +118,22 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
     nxt = jnp.where(i < nb - 1, nxt, zero)
     t = jnp.concatenate([prev, cur, nxt], axis=0)  # (rows+2, W, C) bf16
 
+    if C % 128 == 0:
+        # dy-split: K=C matmuls straight off row-slices of the slab —
+        # major-axis slices reshape for free, so NO im2col copy, and at
+        # C % 128 == 0 the padded MXU flops are identical to the fused-K
+        # formulation
+        for dy in range(3):
+            sl = t[dy:rows + dy].reshape(rows * W, C)
+            if dx_pack:
+                accs[0] += jnp.dot(sl, kmat_ref[dy],
+                                   preferred_element_type=jnp.float32)
+            else:
+                for dx in range(3):
+                    accs[dx] += jnp.dot(sl, kmat_ref[dy, dx],
+                                        preferred_element_type=jnp.float32)
+        return accs, racc
+
     cols = jnp.concatenate(
         [t[0:rows], t[1:rows + 1], t[2:rows + 2]], axis=-1
     ).reshape(rows * W, 3 * C)
@@ -242,14 +258,15 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                      residual=None, x2=None, stats_in=None, num_groups=32,
                      eps=1e-5, interpret=False, rows=None,
                      emit_stats=False, dx_pack=None, res_kernel=None,
-                     res_bias=None):
+                     res_bias=None, stats_in2=None):
     # resolve the module default OUTSIDE the jit cache key so flipping
     # DX_PACK_DEFAULT between calls retraces correctly
     if dx_pack is None:
         dx_pack = DX_PACK_DEFAULT
     return _gn_swish_conv3x3(
         x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
-        stats_in, res_kernel, res_bias, num_groups=num_groups, eps=eps,
+        stats_in, res_kernel, res_bias, stats_in2,
+        num_groups=num_groups, eps=eps,
         interpret=interpret, rows=rows, emit_stats=emit_stats,
         dx_pack=bool(dx_pack),
     )
@@ -262,7 +279,8 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
 )
 def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                       residual=None, x2=None, stats_in=None,
-                      res_kernel=None, res_bias=None, num_groups=32,
+                      res_kernel=None, res_bias=None, stats_in2=None,
+                      num_groups=32,
                       eps=1e-5, interpret=False, rows=None,
                       emit_stats=False, dx_pack=True):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
@@ -309,7 +327,8 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                 res_bias = jnp.pad(res_bias, (0, pad))
         out = _gn_swish_conv3x3(
             x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
-            stats_in, res_kernel, res_bias, num_groups=num_groups,
+            stats_in, res_kernel, res_bias, stats_in2,
+            num_groups=num_groups,
             eps=eps, interpret=interpret, rows=rows,
             emit_stats=emit_stats, dx_pack=dx_pack,
         )
@@ -336,18 +355,29 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     else:
         mean_c, ex2_c = _channel_moments(x)
     if x2 is not None:
-        m2, e2 = _channel_moments(x2)
+        if stats_in2 is not None:
+            # skip tensors carry their producing block's output moments
+            # through the UNet skip stack — no extra HBM read of x2
+            m2 = stats_in2[:, 0].astype(jnp.float32) / hw
+            e2 = stats_in2[:, 1].astype(jnp.float32) / hw
+        else:
+            m2, e2 = _channel_moments(x2)
         mean_c = jnp.concatenate([mean_c, m2], axis=1)
         ex2_c = jnp.concatenate([ex2_c, e2], axis=1)
     scale, shift = _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps)
 
-    # (3, 3, C_total, Cout) -> per-source (dx, dy*C + c, Cout) matching
-    # the kernel's concat-over-dy im2col ordering; with dx_pack the three
-    # dx kernels are stacked along N -> (dy*C + c, 3*Cout)
+    # per-source kernel layout, matching the kernel body's matmul form:
+    #   C % 128 == 0 (dy-split): (3, C, 3*Cout) packed / (3,3,C,Cout)
+    #   else (im2col):           (dy*C+c, 3*Cout) packed / (3, 3C, Cout)
     def kprep(k):
-        km = jnp.transpose(k, (1, 0, 2, 3)).astype(
-            jnp.bfloat16
-        ).reshape(3, -1, k.shape[-1])
+        kb = k.astype(jnp.bfloat16)
+        c_src = k.shape[2]
+        if c_src % 128 == 0:
+            if dx_pack:
+                return jnp.transpose(kb, (0, 2, 1, 3)).reshape(
+                    3, c_src, 3 * k.shape[-1])
+            return kb  # (dy, dx, C, Cout)
+        km = jnp.transpose(kb, (1, 0, 2, 3)).reshape(3, -1, k.shape[-1])
         if dx_pack:
             km = jnp.concatenate([km[0], km[1], km[2]], axis=-1)
         return km

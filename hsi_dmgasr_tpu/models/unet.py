@@ -117,7 +117,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, train=False, time_bias=None, residual=None,
                  x2=None, stats_in=None, emit_stats=False,
-                 res_kernel=None, res_bias=None):
+                 res_kernel=None, res_bias=None, stats_in2=None):
         """x2: second source channel-concatenated with x (the up-path
         skip) — the fused kernel reads it in place, the unfused path
         concatenates. stats_in / emit_stats: per-channel [sum, sumsq]
@@ -145,6 +145,7 @@ class Block(nn.Module):
                 stats_in=stats_in, num_groups=self.norm_groups,
                 interpret=interpret, emit_stats=emit_stats,
                 res_kernel=res_kernel, res_bias=res_bias,
+                stats_in2=stats_in2,
             )
             if isinstance(result, (list, tuple)):
                 return tuple(result)
@@ -228,7 +229,7 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, train=False, x2=None, stats_in=None,
-                 emit_stats=False):
+                 emit_stats=False, x2_stats=None):
         """x2: up-path skip tensor, logically concatenated with x
         (unet.py:257-261); the fused path never materializes the concat.
         stats_in: per-channel [sum, sumsq] of x from the previous fused
@@ -244,6 +245,7 @@ class ResnetBlock(nn.Module):
             x = jnp.concatenate([x, x2], axis=-1)
             x2 = None
             stats_in = None
+            x2_stats = None
         if not self.fuse_stats:
             stats_in, emit_stats = None, False
         c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
@@ -267,7 +269,8 @@ class ResnetBlock(nn.Module):
                        fuse=True, name="block1")(
                 x, train, time_bias=tb, x2=x2,
                 emit_stats=self.fuse_stats, stats_in=stats_in,
-                res_kernel=res_k, res_bias=res_b)
+                res_kernel=res_k, res_bias=res_b,
+                stats_in2=x2_stats if self.fuse_stats else None)
             parts = list(b1) if isinstance(b1, (list, tuple)) else [b1]
             h = parts.pop(0)
             s1 = parts.pop(0) if self.fuse_stats else None
@@ -344,7 +347,8 @@ class ResnetBlocWithAttn(nn.Module):
     fuse_stats: bool = True
 
     @nn.compact
-    def __call__(self, x, emb, train=False, x2=None, stats_in=None):
+    def __call__(self, x, emb, train=False, x2=None, stats_in=None,
+                 x2_stats=None):
         """Returns (out, stats): stats are the resblock output's
         per-channel [sum, sumsq] for chaining into the next block's
         GroupNorm, or None when attention (which changes the tensor)
@@ -354,7 +358,7 @@ class ResnetBlocWithAttn(nn.Module):
             norm=self.norm, discrete=self.discrete, fuse=self.fuse,
             fuse_skip=self.fuse_skip, fuse_stats=self.fuse_stats,
             name="res_block",
-        )(x, emb, train, x2=x2, stats_in=stats_in,
+        )(x, emb, train, x2=x2, stats_in=stats_in, x2_stats=x2_stats,
           emit_stats=not self.with_attn and self.fuse_stats)
         if self.with_attn:
             x = SelfAttention(
@@ -421,8 +425,11 @@ class UNet(nn.Module):
         # h_stats threads each fused block's output moments into the
         # next GroupNorm (saves one HBM stats read per chained block);
         # boundary convs/attention reset the chain.
+        # the skip stack stores (tensor, stats): fused resblocks emit
+        # their output's channel moments, so the up-path GroupNorm over
+        # a skip needs no extra HBM stats read (boundary convs push None)
         h = Conv2d(self.inner_channel, 3, name="downs_0")(x)
-        feats.append(h)
+        feats.append((h, None))
         h_stats = None
         li = 1
         for ind in range(num_mults):
@@ -434,11 +441,11 @@ class UNet(nn.Module):
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"downs_{li}",
                 )(h, emb, train, stats_in=h_stats)
-                feats.append(h)
+                feats.append((h, h_stats))
                 li += 1
             if not is_last:
                 h = Conv2d(h.shape[-1], 3, stride=2, name=f"downs_{li}_conv")(h)
-                feats.append(h)
+                feats.append((h, None))
                 h_stats = None
                 li += 1
                 now_res //= 2
@@ -461,11 +468,14 @@ class UNet(nn.Module):
             ch = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
                 # skip rides as a second source (x2): the fused kernel
-                # reads it without materializing the concat
+                # reads it without materializing the concat, and its
+                # stored moments skip the x2 stats read
+                x2, x2_stats = feats.pop()
                 h, h_stats = self._block(
                     ch, self.norm_groups, self.dropout, use_attn,
                     self.norm, discrete, name=f"ups_{li}",
-                )(h, emb, train, x2=feats.pop(), stats_in=h_stats)
+                )(h, emb, train, x2=x2, stats_in=h_stats,
+                  x2_stats=x2_stats)
                 li += 1
             if not is_last:
                 b, hh, ww, cc = h.shape

@@ -32,6 +32,7 @@ def _unfused(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     ((1, 24, 16, 16), 32, "tb"),         # rectangular, channel change
     ((2, 8, 8, 16), 16, "tb+res"),       # H == rows edge case
     ((1, 40, 24, 32), 16, "res"),        # odd slab division
+    ((1, 8, 8, 128), 16, "tb"),          # C%128==0: dy-split matmul path
 ])
 def test_fused_matches_unfused(shape, cout, extras):
     rng = np.random.RandomState(0)
@@ -217,3 +218,27 @@ def test_fused_res_conv_folding_matches_unfused():
         got, _ = fus_m.apply(v, x, emb, False, x2=x2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_fused_x2_stats_chaining():
+    """stats_in2 (skip-tensor moments riding the UNet skip stack) must
+    reproduce the x2 stats-read path."""
+    rng = np.random.RandomState(7)
+    b, h, w, c1, c2, cout = 2, 16, 16, 16, 8, 16
+    x = rng.randn(b, h, w, c1).astype(np.float32)
+    x2 = rng.randn(b, h, w, c2).astype(np.float32)
+    c = c1 + c2
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    want = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, x2=x2,
+                            num_groups=8, interpret=True)
+    s2 = np.stack([x2.sum((1, 2)), (x2.astype(np.float64) ** 2)
+                   .sum((1, 2)).astype(np.float32)], axis=1)
+    got = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, x2=x2,
+                           stats_in2=jnp.asarray(s2), num_groups=8,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.02, rtol=0.02)
