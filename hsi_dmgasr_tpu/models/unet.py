@@ -244,7 +244,13 @@ class ResnetBlock(nn.Module):
         if fuse and x2 is not None and not fuse_skip:
             x = jnp.concatenate([x, x2], axis=-1)
             x2 = None
-            stats_in = None
+            # the concat's channel moments are the concatenation of the
+            # two sources' moments — keep the chain alive when both are
+            # known (saves the stats read over the widest tensors)
+            if stats_in is not None and x2_stats is not None:
+                stats_in = jnp.concatenate([stats_in, x2_stats], axis=-1)
+            else:
+                stats_in = None
             x2_stats = None
         if not self.fuse_stats:
             stats_in, emit_stats = None, False
