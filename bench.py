@@ -92,8 +92,10 @@ def build(args):
         channel_mults=tuple(u["channel_multiplier"]),
         attn_res=tuple(u["attn_res"]), res_blocks=u["res_blocks"],
         image_size=size,
-        # fused Pallas GN+swish+conv resblocks (kernels/fused_conv.py)
-        fuse_blocks=not args.no_fuse,
+        # fused Pallas GN+swish+conv resblocks (kernels/fused_conv.py);
+        # the kernels compute in bf16 internally, so an f32 run stays
+        # unfused to keep the label honest
+        fuse_blocks=not args.no_fuse and args.dtype == "bf16",
         fuse_skip=False if args.no_fuse_skip else "auto",
         fuse_stats=not args.no_fuse_stats,
     )
