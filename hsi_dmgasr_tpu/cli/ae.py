@@ -39,6 +39,11 @@ def main(argv=None):
     # --mask_p 0.6 --loss l1 reproduces the distributed stage-1 trainer
     p.add_argument("--mask_p", type=float, default=0.0)
     p.add_argument("--loss", choices=["hloss", "l1"], default="hloss")
+    p.add_argument("--transfer_dtype", choices=["float16", "float32"],
+                   default="float16",
+                   help="host->device upload dtype (float16 halves the "
+                        "~25 MB/s tunnel transfer; float32 keeps full "
+                        "precision for local runs)")
     args = p.parse_args(argv)
 
     from .common import force_platform
@@ -57,15 +62,18 @@ def main(argv=None):
         n_feats=args.n_feats, lr=args.lr, seed=args.seed,
         mask_p=args.mask_p, loss=args.loss,
     )
+    transfer_dtype = np.dtype(args.transfer_dtype)
+
     def device_batches():
-        """f16 upload + one-batch async prefetch (the tunnel transfer
-        otherwise serializes with compute, see stage2_driver)."""
+        """--transfer_dtype upload (f16 default for the tunnel) + one-batch
+        async prefetch (the transfer otherwise serializes with compute,
+        see stage2_driver)."""
         import jax
 
         prev = None
         for batch in loader:
             hr = batch["HR"] if isinstance(batch, dict) else batch[1]
-            d = jax.device_put(np.asarray(hr, np.float16))
+            d = jax.device_put(np.asarray(hr, transfer_dtype))
             if prev is not None:
                 yield prev
             prev = d

@@ -18,7 +18,14 @@ logger = logging.getLogger("base")
 
 
 def main(argv=None):
-    args = base_parser("configs/sr_sr3_16_128.json", "val").parse_args(argv)
+    p = base_parser("configs/sr_sr3_16_128.json", "val")
+    p.add_argument("--process_mode", choices=["grid", "single", "none"],
+                   default="grid",
+                   help="reverse-process artifacts: 'grid' tiles the "
+                        "denoising progression into {idx}_sr_process.png "
+                        "(reference infer.py:85-90), 'single' saves one "
+                        "PNG per kept step (infer.py:78-83), 'none' skips")
+    args = p.parse_args(argv)
     force_platform(args.platform)
     opt = parse_opt(args)
     setup_logger("base", opt["path"]["log"], "infer", screen=True)
@@ -30,9 +37,28 @@ def main(argv=None):
     os.makedirs(result_path, exist_ok=True)
 
     for idx, batch in enumerate(loader):
-        sr = model.super_resolution(batch["SR"])
+        if args.process_mode == "none":
+            sr = np.asarray(model.super_resolution(batch["SR"]))
+        else:
+            # continous=True: [SR-cond, strided reverse-chain states,
+            # final] stacked on the batch axis (diffusion.py:177-201)
+            stack = model.super_resolution(batch["SR"], continous=True)
+            b = np.asarray(batch["SR"]).shape[0]
+            sr = stack[-b:]
+            if args.process_mode == "grid":
+                save_img(
+                    tensor2img(stack, min_max=(-1, 1)),
+                    f"{result_path}/{idx}_sr_process.png",
+                )
+            else:
+                for it in range(stack.shape[0] // b):
+                    save_img(
+                        tensor2img(stack[it * b:(it + 1) * b],
+                                   min_max=(-1, 1)),
+                        f"{result_path}/{idx}_sr_{it}.png",
+                    )
         save_img(
-            tensor2img(np.asarray(sr), min_max=(-1, 1)),
+            tensor2img(sr, min_max=(-1, 1)),
             f"{result_path}/{idx}_sr.png",
         )
         save_img(

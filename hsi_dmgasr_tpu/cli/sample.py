@@ -52,10 +52,16 @@ def main(argv=None):
                         f"{result_path}/{step}_sample.png",
                     )
     else:
+        # evaluation phase: continous process grids + finals
+        # (reference sample.py:134-158)
         for i in range(opt["datasets"]["val"].get("data_len") or 1):
-            imgs = np.asarray(model.sample(batch_size=1))
+            stack = model.sample(batch_size=1, continous=True)
             save_img(
-                tensor2img(imgs, min_max=(-1, 1)),
+                tensor2img(stack, min_max=(-1, 1)),
+                f"{result_path}/{i}_sample_process.png",
+            )
+            save_img(
+                tensor2img(stack[-1:], min_max=(-1, 1)),
                 f"{result_path}/sample_{i}.png",
             )
         logger.info("wrote samples to %s", result_path)

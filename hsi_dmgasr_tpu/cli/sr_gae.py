@@ -47,6 +47,12 @@ def supervise(args, max_restarts):
         root = os.path.join(
             "experiments", f"{opt_name}_{config_mod.get_timestamp()}"
         )
+    # resolve the checkpoint dir through the config (a config with a
+    # non-default path.checkpoint would otherwise make every restart
+    # silently find no checkpoint and lose progress)
+    ckpt_dir = config_mod.parse(
+        args.config, phase=args.phase, experiments_root=root
+    )["path"]["checkpoint"]
 
     base_cmd = [sys.executable, "-m", "hsi_dmgasr_tpu.cli.sr_gae",
                 "-c", args.config, "-p", args.phase,
@@ -61,7 +67,7 @@ def supervise(args, max_restarts):
     streak = 0
     for attempt in range(max_restarts + 1):
         cmd = list(base_cmd)
-        ckpt = _latest_checkpoint(os.path.join(root, "checkpoint"))
+        ckpt = _latest_checkpoint(ckpt_dir)
         if ckpt:
             cmd += ["--resume", ckpt]
         elif args.resume:

@@ -49,11 +49,30 @@ class DMGASRPipeline:
         self.G = gae_config["G"]
         self.n_colors = gae_config["n_colors"]
 
+        # Latent affine normalization (config gae.latent_shift/latent_scale,
+        # default identity for reference parity). The GAE encoder ends in a
+        # plain conv (AE.py:168-199) so nothing bounds its latents, while the
+        # sampler clips x̂0 to [-1,1] every reverse step (gaussian.py:105-106
+        # == reference diffusion.py:163-164) and the SR3 noise schedule
+        # assumes data filling [-1,1]. Measured on the converted GAE_4_Pav
+        # (tools/diag_latents.py): latents live in [-1.52, +0.06], mean -0.32
+        # std 0.24 — the clip truncates real mass and the signal is ~4x
+        # smaller than the schedule's unit-range assumption. The affine
+        # z' = (z - shift) * scale recenters the diffusion's working space;
+        # decode inverts it, so GAE weights and outputs are untouched.
+        gae_opt = (opt or {}).get("gae") or {}
+        self.latent_shift = float(gae_opt.get("latent_shift") or 0.0)
+        self.latent_scale = float(gae_opt.get("latent_scale") or 1.0)
+        shift, scale = self.latent_shift, self.latent_scale
+
         self._encode = jax.jit(
-            lambda v, x: self.gae.apply(v, x, method=GAE.encode)
+            lambda v, x: (self.gae.apply(v, x, method=GAE.encode) - shift)
+            * scale
         )
         self._decode = jax.jit(
-            lambda v, z: self.gae.apply(v, z, method=GAE.decode)
+            lambda v, z: self.gae.apply(
+                v, z / scale + shift, method=GAE.decode
+            )
         )
         self.ddpm = ddpm if ddpm is not None else DDPMModel(opt, seed=seed)
         self._key = jax.random.PRNGKey(seed + 17)

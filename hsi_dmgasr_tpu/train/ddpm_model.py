@@ -66,7 +66,28 @@ class DDPMModel:
             variables["params"], k_reinit, init_type="orthogonal"
         )
 
-        lr = (opt.get("train") or {}).get("optimizer", {}).get("lr", 1e-4)
+        opt_cfg = (opt.get("train") or {}).get("optimizer", {}) or {}
+        lr = opt_cfg.get("lr", 1e-4)
+        # beyond-reference: optional LR schedule (the reference hand-edits
+        # the config and restarts to drop the LR; round-2's 18k run did
+        # exactly that at 12k steps). train.optimizer.lr_schedule:
+        #   {"type": "step", "milestones": [..], "gamma": 0.1}
+        #   {"type": "cosine", "decay_steps": N, "alpha": 0.0}
+        sched_cfg = opt_cfg.get("lr_schedule")
+        if sched_cfg:
+            typ = sched_cfg.get("type", "step")
+            if typ == "step":
+                gamma = sched_cfg.get("gamma", 0.1)
+                lr = optax.piecewise_constant_schedule(
+                    lr, {int(m): gamma for m in sched_cfg["milestones"]}
+                )
+            elif typ == "cosine":
+                lr = optax.cosine_decay_schedule(
+                    lr, sched_cfg["decay_steps"],
+                    alpha=sched_cfg.get("alpha", 0.0),
+                )
+            else:
+                raise NotImplementedError(f"lr_schedule type [{typ}]")
         tx = optax.adam(lr)
         if (opt["model"] or {}).get("finetune_norm"):
             # the reference hands ONLY 'transformer'-named params to the
@@ -192,13 +213,16 @@ class DDPMModel:
 
         return denoise_fn
 
-    def _get_sampler(self, shape, unconditional=False):
+    def _get_sampler(self, shape, unconditional=False, continous=False):
         # sampler selection: config model.diffusion.sampler = 'ancestral'
-        # (reference behavior, default) | 'ddim' with ddim_steps
+        # (reference behavior, default) | 'ddim' with ddim_steps.
+        # continous=True additionally returns the (T, B, H, W, C)
+        # intermediate stack plus the initial state, for the reference's
+        # reverse-process grids (sr3_modules/diffusion.py:177-201).
         diff_opt = self.opt["model"]["diffusion"] or {}
         sampler = diff_opt.get("sampler") or "ancestral"
         ddim_steps = diff_opt.get("ddim_steps")
-        ck = (shape, unconditional, sampler, ddim_steps)
+        ck = (shape, unconditional, sampler, ddim_steps, continous)
         if ck not in self._sample_cache:
             diffusion = self.val_diffusion
 
@@ -211,6 +235,16 @@ class DDPMModel:
                     return self.unet.apply(variables, x, t, train=False)
 
                 kw = dict(shape=shape) if unconditional else dict(cond=cond)
+                if continous:
+                    # draw x_init with the sampler's own key split so the
+                    # chain is bit-identical to the non-continous path
+                    k_init, _ = jax.random.split(key)
+                    x_init = jax.random.normal(k_init, shape, jnp.float32)
+                    x_fin, inter = diffusion.sample_loop(
+                        denoise_fn, key, x_init=x_init,
+                        return_intermediates=True, **kw
+                    )
+                    return x_fin, x_init, inter
                 if sampler == "ddim":
                     return diffusion.ddim_sample_loop(
                         denoise_fn, key, steps=ddim_steps, **kw
@@ -220,9 +254,24 @@ class DDPMModel:
             self._sample_cache[ck] = run
         return self._sample_cache[ck]
 
-    def super_resolution(self, cond, key=None):
+    def _process_stack(self, start, inter):
+        """Reference continous stack (diffusion.py:177-201): the start
+        image (conditioning SR when conditional, initial noise when not)
+        followed by the state at every ``1 | (T//10)``-strided timestep,
+        concatenated along the batch axis."""
+        T = inter.shape[0]
+        sample_inter = 1 | (T // 10)
+        ts = np.arange(T - 1, -1, -1)
+        keep = (ts % sample_inter) == 0
+        frames = [np.asarray(start)] + [
+            np.asarray(inter[i]) for i in np.nonzero(keep)[0]
+        ]
+        return np.concatenate(frames, axis=0)
+
+    def super_resolution(self, cond, key=None, continous=False):
         """Reverse-diffuse conditioned on the upsampled LR latent
-        (model/model.py:61-70 test()).
+        (model/model.py:61-70 test()). ``continous=True`` returns the
+        reference's reverse-process stack instead of the final state.
 
         Under a multi-device mesh the conditioning batch is padded to a
         multiple of the mesh size and sharded on axis 0, so the whole
@@ -241,12 +290,19 @@ class DDPMModel:
                            mode="wrap")
         if n_dev > 1:
             cond = shard_batch(self.mesh, cond)
-        run = self._get_sampler(tuple(cond.shape))
+        run = self._get_sampler(tuple(cond.shape), continous=continous)
         out = run(self.eval_params, self.state.batch_stats, key, cond)
+        if continous:
+            _, _, inter = out
+            return self._process_stack(
+                np.asarray(cond)[:orig], inter[:, :orig]
+            )
         return out[:orig] if pad else out
 
-    def sample(self, batch_size=1, key=None):
-        """Unconditional generation (model/model.py:72-79)."""
+    def sample(self, batch_size=1, key=None, continous=False):
+        """Unconditional generation (model/model.py:72-79).
+        ``continous=True`` returns the process stack seeded from the
+        initial noise image (diffusion.py:182-188)."""
         if self.opt["model"]["diffusion"].get("conditional", True):
             raise ValueError(
                 "sample() needs an unconditional config "
@@ -257,18 +313,23 @@ class DDPMModel:
         if key is None:
             self._key, key = jax.random.split(self._key)
         shape = (batch_size, self.image_size, self.image_size, self.channels)
-        run = self._get_sampler(shape, unconditional=True)
-        return run(self.eval_params, self.state.batch_stats, key, None)
+        run = self._get_sampler(shape, unconditional=True, continous=continous)
+        out = run(self.eval_params, self.state.batch_stats, key, None)
+        if continous:
+            _, x_init, inter = out
+            return self._process_stack(x_init, inter)
+        return out
 
     # ------------------------------------------------------- checkpoints
 
-    def save_checkpoint(self, ckpt_dir, epoch, iter_step):
+    def save_checkpoint(self, ckpt_dir, epoch, iter_step, name=None):
         """Orbax checkpoint named like the reference's
-        I{iter}_E{epoch} pairs (model/model.py:125-145)."""
+        I{iter}_E{epoch} pairs (model/model.py:125-145). ``name``
+        overrides the directory name (used for best-val snapshots)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
-            os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}")
+            os.path.join(ckpt_dir, name or f"I{iter_step}_E{epoch}")
         )
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, jax.device_get(self.state))
@@ -284,8 +345,10 @@ class DDPMModel:
             restored = ckptr.restore(os.path.abspath(path), target)
         self.state = replicate(self.mesh, restored)
         # resume the step counter from the reference-style I{it}_E{ep}
-        # name so a restarted driver continues where the run died
-        m = re.fullmatch(r"I(\d+)_E(\d+)", os.path.basename(path.rstrip("/")))
+        # name (also matching best_I{it}_E{ep} best-val snapshots) so a
+        # restarted driver continues where the run died
+        m = re.fullmatch(r"(?:best_)?I(\d+)_E(\d+)",
+                         os.path.basename(path.rstrip("/")))
         if m:
             self.begin_step = int(m.group(1))
             self.begin_epoch = int(m.group(2))

@@ -152,6 +152,39 @@ def validate(pipeline, val_loader, opt, result_path=None, step=0,
     }
 
 
+def _read_best(ckpt_dir):
+    """Read checkpoint/best.json ({'name', 'iter', 'epoch', 'metric'})."""
+    import json
+
+    path = os.path.join(ckpt_dir, "best.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_best_checkpoint(pipeline, ckpt_dir, epoch, step, metric_value):
+    """Keep a rolling best-val snapshot ``best_I{it}_E{ep}`` next to the
+    periodic checkpoints, tracked by ``best.json``. The reference has no
+    best-model selection at all (sr_gae.py saves only on a fixed
+    frequency, sr_gae.py:413-415) — round-2's 18k-step run ended on a
+    model 3.3 dB worse than its 11.5k-step peak because of exactly this.
+    """
+    import json
+    import shutil
+
+    prev = _read_best(ckpt_dir)
+    name = f"best_I{step}_E{epoch}"
+    pipeline.ddpm.save_checkpoint(ckpt_dir, epoch, step, name=name)
+    with open(os.path.join(ckpt_dir, "best.json"), "w") as f:
+        json.dump({"name": name, "iter": step, "epoch": epoch,
+                   "metric": "MPSNR_cc", "value": metric_value}, f)
+    if prev and prev.get("name") and prev["name"] != name:
+        shutil.rmtree(os.path.join(ckpt_dir, prev["name"]),
+                      ignore_errors=True)
+    return name
+
+
 def train(opt, seed=0, max_steps=None):
     """The sr_gae train loop (sr_gae.py:210-424)."""
     setup_logger("base", opt["path"]["log"], "train", screen=True)
@@ -214,6 +247,9 @@ def train(opt, seed=0, max_steps=None):
     if current_step:
         logger.info("resuming at iter %d (epoch %d)",
                     current_step, current_epoch)
+    ckpt_dir = opt["path"]["checkpoint"]
+    prev_best = _read_best(ckpt_dir)
+    best_val = prev_best["value"] if prev_best else -float("inf")
     results = {}
     while current_step < n_iter:
         current_epoch += 1
@@ -260,16 +296,43 @@ def train(opt, seed=0, max_steps=None):
                         {f"validation/{k}": v
                          for k, v in results["indices"].items()}
                     )
+                val_psnr = results["indices_cc"]["MPSNR"]
+                if val_psnr > best_val:
+                    best_val = val_psnr
+                    name = save_best_checkpoint(
+                        pipeline, ckpt_dir, current_epoch, current_step,
+                        val_psnr,
+                    )
+                    val_logger.info(
+                        "new best MPSNR_cc %.3f -> saved %s", val_psnr, name
+                    )
             if current_step % save_freq == 0:
                 pipeline.ddpm.save_checkpoint(
-                    opt["path"]["checkpoint"], current_epoch, current_step
+                    ckpt_dir, current_epoch, current_step
                 )
     return pipeline, results
 
 
 def run_val_phase(opt, seed=0):
-    """The `-p val` full evaluation (sr_gae.py:428-583)."""
+    """The `-p val` full evaluation (sr_gae.py:428-583).
+
+    When no resume_state is given, defaults to the best-val snapshot
+    tracked by checkpoint/best.json (falls back to uninitialized weights
+    with a warning, matching the reference's behavior of evaluating
+    whatever resume_state says)."""
     setup_logger("base", opt["path"]["log"], "val", screen=True)
+    if not opt["path"].get("resume_state"):
+        best = _read_best(opt["path"]["checkpoint"])
+        if best:
+            opt["path"]["resume_state"] = os.path.join(
+                opt["path"]["checkpoint"], best["name"]
+            )
+            logging.getLogger("base").info(
+                "no resume_state given; using best-val checkpoint %s "
+                "(MPSNR_cc %.3f at iter %d)",
+                best["name"], best.get("value", float("nan")),
+                best.get("iter", -1),
+            )
     pipeline = build_pipeline(opt, seed=seed)
     scale = opt.get("scale") or 4
     val_opt = opt["datasets"]["val"]

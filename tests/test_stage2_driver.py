@@ -67,6 +67,17 @@ def test_sr_gae_train_loop_end_to_end(synth_data, tmp_path):
         result_files += files
     assert any(f.endswith("_sr.npy") for f in result_files)
     assert any(f.endswith("_err.png") for f in result_files)
+    # best-val tracking: the first val sweep must have produced a best
+    # snapshot + best.json metadata
+    assert any(c.startswith("best_I") for c in ckpts), ckpts
+    best = stage2_driver._read_best(opt["path"]["checkpoint"])
+    assert best and best["name"].startswith("best_I")
+    assert np.isfinite(best["value"])
+    # -p val with no resume_state defaults to the best snapshot
+    opt_val = dict(opt)
+    opt_val["path"] = dict(opt["path"], resume_state=None)
+    results_val = stage2_driver.run_val_phase(opt_val, seed=0)
+    assert np.isfinite(results_val["indices"]["MPSNR"])
 
 @pytest.mark.skipif(not os.path.exists(GAE_CKPT),
                     reason="reference GAE checkpoint unavailable")
@@ -136,6 +147,38 @@ def test_latest_checkpoint_picker(tmp_path):
     from hsi_dmgasr_tpu.cli.sr_gae import _latest_checkpoint
 
     assert _latest_checkpoint(str(tmp_path / "nope")) is None
-    for name in ["I100_E3", "I900_E7", "I2500_E11", "junk", "I33"]:
+    for name in ["I100_E3", "I900_E7", "I2500_E11", "junk", "I33",
+                 "best_I9000_E5"]:
         os.makedirs(tmp_path / name)
+    # best_* snapshots must NOT win the resume pick (the newest periodic
+    # checkpoint is always >= the best one in wall-clock progress)
     assert _latest_checkpoint(str(tmp_path)).endswith("I2500_E11")
+
+
+def test_best_checkpoint_rolls(tmp_path):
+    """save_best_checkpoint keeps exactly one best_* snapshot and
+    best.json tracks the winner."""
+    from hsi_dmgasr_tpu.train.stage2_driver import (
+        _read_best,
+        save_best_checkpoint,
+    )
+
+    class _FakeDDPM:
+        def save_checkpoint(self, ckpt_dir, epoch, it, name=None):
+            path = os.path.join(ckpt_dir, name or f"I{it}_E{epoch}")
+            os.makedirs(path)
+            return path
+
+    class _FakePipeline:
+        ddpm = _FakeDDPM()
+
+    d = str(tmp_path)
+    assert _read_best(d) is None
+    save_best_checkpoint(_FakePipeline(), d, 1, 500, 20.0)
+    assert _read_best(d)["value"] == 20.0
+    assert os.path.isdir(os.path.join(d, "best_I500_E1"))
+    save_best_checkpoint(_FakePipeline(), d, 2, 1500, 23.5)
+    best = _read_best(d)
+    assert best["name"] == "best_I1500_E2" and best["value"] == 23.5
+    assert not os.path.exists(os.path.join(d, "best_I500_E1"))
+    assert os.path.isdir(os.path.join(d, "best_I1500_E2"))
