@@ -75,7 +75,17 @@ def supervise(args, max_restarts):
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}",
               flush=True)
         t0 = time.time()
-        rc = subprocess.call(cmd)
+        # record the child PID so operators can SIGSTOP/SIGCONT it (e.g.
+        # to pause training while benchmarking the single TPU chip)
+        # without pattern-matching process names
+        proc = subprocess.Popen(cmd)
+        pid_file = os.path.join(root, "train_child.pid")
+        try:
+            with open(pid_file, "w") as f:
+                f.write(str(proc.pid))
+        except OSError:
+            pass
+        rc = proc.wait()
         if rc == 0:
             print("[supervisor] training completed", flush=True)
             return 0

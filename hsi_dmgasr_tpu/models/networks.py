@@ -116,16 +116,15 @@ def define_G(opt):
 
 def _default_fuse(unet_opt):
     """model.unet.fuse: use the Pallas fused inference kernels
-    (kernels/fused_conv.py, ops/fused_up.py). Default: on for
-    accelerator backends, off on CPU where the interpret-mode kernels
-    are correctness-only (and slow). Training always takes the unfused
-    path (the fuse gate in models/unet.py checks ``train``)."""
-    fuse = unet_opt.get("fuse")
-    if fuse is None:
-        import jax
-
-        fuse = jax.default_backend() != "cpu"
-    return bool(fuse)
+    (kernels/fused_conv.py, ops/fused_up.py). Default: OFF — the kernels
+    compute in bf16 internally, while everything reached through
+    define_G (training-driver validation, cli infer/eval) runs f32, and
+    silently shifting val metrics to bf16 numerics is the wrong default
+    (bench.py's own policy: fuse only when running bf16). The flagship
+    perf paths opt in explicitly (bench.py, __graft_entry__) where the
+    run is bf16 end-to-end. Training always takes the unfused path
+    regardless (the fuse gate in models/unet.py checks ``train``)."""
+    return bool(unet_opt.get("fuse"))
 
 
 def diffusion_for_phase(opt, phase):

@@ -33,6 +33,11 @@ def _unfused(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     ((2, 8, 8, 16), 16, "tb+res"),       # H == rows edge case
     ((1, 40, 24, 32), 16, "res"),        # odd slab division
     ((1, 8, 8, 128), 16, "tb"),          # C%128==0: dy-split matmul path
+    # dx_pack gate (Cout < 128 and Cout % 64 == 0): the flagship's hot
+    # shape class — packed (M,3C)x(3C,3*Cout) matmul + lane-slice +
+    # output-roll (ADVICE r2: this branch previously ran untested)
+    ((1, 16, 8, 32), 64, "tb"),          # dx_pack via im2col branch
+    ((1, 8, 8, 128), 64, "res"),         # dx_pack via dy-split branch
 ])
 def test_fused_matches_unfused(shape, cout, extras):
     rng = np.random.RandomState(0)

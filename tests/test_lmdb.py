@@ -103,3 +103,39 @@ def test_prepare_data_lmdb_cli(tmp_path):
     assert len(ds) == 2
     item = ds[0]
     assert item["HR"].shape == (32, 32, 3)
+
+
+def test_reader_parses_canonical_mdb_fixture():
+    """Parse a hand-constructed canonical data.mdb (tests/golden/
+    canonical_small.mdb, built by tools/make_lmdb_golden.py WITHOUT
+    LmdbWriter) that reproduces real mdb.c session artifacts LmdbWriter
+    never emits: interleaved page allocation (branch root + overflow
+    chain between the leaves), insertion-order node heaps with key-order
+    mp_ptrs, meta txn parity (live snapshot on meta page 1), and a
+    3-page F_BIGDATA overflow value."""
+    import json
+    import zlib
+
+    from hsi_dmgasr_tpu.io.lmdb_lite import LmdbReader
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "canonical_small.mdb")
+    manifest = json.load(open(golden + ".json"))
+    with LmdbReader(golden) as r:
+        assert r.psize == 4096
+        assert len(r) == len(manifest)
+        # every key via point lookup (descends the branch level)
+        for k, meta in manifest.items():
+            v = r.get(k)
+            assert v is not None, k
+            assert len(v) == meta["len"]
+            assert zlib.crc32(v) == meta["crc32"]
+        # the 8.5 KB value really came through the overflow chain
+        assert len(r.get("big_blob")) == 8500
+        assert r.get("nope") is None
+        assert r.get(b"hr_128_00000") is None
+        # full scan in key order
+        items = list(r.items())
+        assert [k.decode() for k, _ in items] == sorted(manifest)
+        assert all(zlib.crc32(v) == manifest[k.decode()]["crc32"]
+                   for k, v in items)
