@@ -27,10 +27,12 @@ Fusions beyond the Block itself:
   * ``x2`` -- a second input treated as channel-concat [x, x2]: the
     UNet's up-path skip concatenation never materializes; the kernel
     reads both sources and runs separate K-matmuls per source.
-  * ``emit_stats`` -- the epilogue also accumulates per-channel
-    [sum, sumsq] of the OUTPUT across row-slabs into a tiny (B, 2,
-    Cout) f32 buffer, so the next Block's GroupNorm needs no extra
-    HBM read (intra-resblock stats chaining).
+  * ``emit_stats`` -- the epilogue also writes PER-ROW [sum, sumsq]
+    of the OUTPUT into a tiny (B, H, 2, Cout) f32 buffer, so the next
+    Block's GroupNorm needs no extra HBM read (intra-resblock stats
+    chaining). Per-row (not per-slab-accumulated) partials are the
+    canonical unit that makes spatially-sharded and single-device
+    moments bitwise equal (see _reduce_row_stats).
 
 Layout notes: Mosaic cannot concat or reshape sublane-misaligned
 slices and rotates only 32-bit data, hence the f32 roll + mask
@@ -83,7 +85,8 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
 
 
 def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
-                    nb, rows, W, accs, dx_pack, rk_ref=None, racc=None):
+                    nb, rows, W, accs, dx_pack, rk_ref=None, racc=None,
+                    hp_ref=None, hn_ref=None):
     """norm+swish a source ONCE, build ONE unshifted im2col (dy taps
     stacked along K), and accumulate the three per-dx partial outputs.
 
@@ -111,11 +114,18 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
     cur = actf(cur)
     prev = actf(prev)
     nxt = actf(nxt)
-    # clamped halo index maps re-read an in-image row at the edges;
-    # zero them so the conv sees SAME zero padding
-    zero = jnp.bfloat16(0)
-    prev = jnp.where(i > 0, prev, zero)
-    nxt = jnp.where(i < nb - 1, nxt, zero)
+    if hp_ref is None:
+        # clamped halo index maps re-read an in-image row at the edges;
+        # zero them so the conv sees SAME zero padding
+        zero = jnp.bfloat16(0)
+        prev = jnp.where(i > 0, prev, zero)
+        nxt = jnp.where(i < nb - 1, nxt, zero)
+    else:
+        # spatial sharding: the first/last slab's halo rows come from
+        # the neighbor rank (pre-activated + edge-zeroed on the host
+        # side of the pallas_call, see _gn_swish_conv3x3)
+        prev = jnp.where(i > 0, prev, hp_ref[...])
+        nxt = jnp.where(i < nb - 1, nxt, hn_ref[...])
     t = jnp.concatenate([prev, cur, nxt], axis=0)  # (rows+2, W, C) bf16
 
     if C % 128 == 0:
@@ -151,11 +161,16 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
 
 
 def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
-            emit_stats, dx_pack, emit_res):
+            emit_stats, dx_pack, emit_res, has_halo=False):
     it = iter(refs)
     xc_ref, xp_ref, xn_ref = next(it), next(it), next(it)
+    hp_ref = hn_ref = hp2_ref = hn2_ref = None
+    if has_halo:
+        hp_ref, hn_ref = next(it), next(it)
     if has_x2:
         x2c_ref, x2p_ref, x2n_ref = next(it), next(it), next(it)
+        if has_halo:
+            hp2_ref, hn2_ref = next(it), next(it)
         kmat2_ref, scale2_ref, shift2_ref = next(it), next(it), next(it)
     scale_ref, shift_ref, kmat_ref, bias_ref, tb_ref, res_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it)
@@ -181,12 +196,14 @@ def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
     accs, racc = _source_matmuls(xc_ref[...], xp_ref[...], xn_ref[...],
                                  scale_ref, shift_ref, kmat_ref,
                                  b, i, nb, rows, W, accs, dx_pack,
-                                 rk_ref=rk_ref, racc=racc)
+                                 rk_ref=rk_ref, racc=racc,
+                                 hp_ref=hp_ref, hn_ref=hn_ref)
     if has_x2:
         accs, racc = _source_matmuls(x2c_ref[...], x2p_ref[...], x2n_ref[...],
                                      scale2_ref, shift2_ref, kmat2_ref,
                                      b, i, nb, rows, W, accs, dx_pack,
-                                     rk_ref=rk2_ref, racc=racc)
+                                     rk_ref=rk2_ref, racc=racc,
+                                     hp_ref=hp2_ref, hn_ref=hn2_ref)
     if emit_res:
         racc += rb_ref[0][None, :]
         ores_ref[...] = racc.reshape(rows, W, Cout).astype(ores_ref.dtype)
@@ -220,16 +237,16 @@ def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
         out = out + res_ref[...].astype(jnp.float32)
 
     if emit_stats:
-        part = jnp.stack([jnp.sum(out, axis=(0, 1)),
-                          jnp.sum(jnp.square(out), axis=(0, 1))])
-
-        @pl.when(i == 0)
-        def _():
-            o2_ref[...] = part
-
-        @pl.when(i > 0)
-        def _():
-            o2_ref[...] = o2_ref[...] + part
+        # PER-ROW [sum, sumsq] over W (not accumulated across slabs):
+        # per-row partials are independent of the slab partitioning, so
+        # a spatially-sharded run reduces the exact same (H, 2, Cout)
+        # array as the single-device run -> bitwise-equal moments (the
+        # GroupNorm var subtraction amplifies any f32-level moment
+        # difference by (mean/std)^2, so reproducibility across
+        # partitionings requires bitwise equality, not just ~1e-7)
+        o2_ref[...] = jnp.stack(
+            [jnp.sum(out, axis=1), jnp.sum(jnp.square(out), axis=1)],
+            axis=1)
 
     o_ref[...] = out.astype(o_ref.dtype)
 
@@ -248,41 +265,71 @@ def _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps):
     return scale, shift
 
 
-def _channel_moments(x):
+def _row_moments(x):
+    """Per-row [sum, sumsq] partials: (B, H, W, C) -> (B, H, 2, C) f32.
+
+    Same canonical unit as the kernel's emit_stats output: per-row
+    partials are partitioning-independent, so sharded and single-device
+    runs reduce identical arrays (see _reduce_row_stats)."""
     xf = x.astype(jnp.float32)
-    return (jnp.mean(xf, axis=(1, 2)),
-            jnp.mean(jnp.square(xf), axis=(1, 2)))
+    return jnp.stack(
+        [jnp.sum(xf, axis=2), jnp.sum(jnp.square(xf), axis=2)], axis=2)
+
+
+def _reduce_row_stats(st, axis_name):
+    """(B, H_loc, 2, C) per-row partials -> per-channel [sum, sumsq].
+
+    Under spatial sharding the per-row partials are all_gather'ed (exact
+    data movement, rank order == global row order) so every rank reduces
+    the SAME (B, H, 2, C) array with the SAME reduce program as the
+    single-device path — bitwise-equal totals. A psum of per-rank sums
+    would reassociate at f32 level, which GroupNorm's var subtraction
+    then amplifies by (mean/std)^2 into 1e-3-scale divergence. The
+    optimization_barrier pins the two-stage reduce (per-row over W, then
+    over H) so XLA cannot refuse them into one differently-associated
+    reduction."""
+    if axis_name is not None:
+        st = jax.lax.all_gather(st, axis_name, axis=1, tiled=True)
+    st = jax.lax.optimization_barrier(st)
+    tot = jnp.sum(st, axis=1)  # (B, 2, C)
+    return tot[:, 0], tot[:, 1]
 
 
 def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                      residual=None, x2=None, stats_in=None, num_groups=32,
                      eps=1e-5, interpret=False, rows=None,
                      emit_stats=False, dx_pack=None, res_kernel=None,
-                     res_bias=None, stats_in2=None):
+                     res_bias=None, stats_in2=None, axis_name=None,
+                     halo=None, halo2=None):
     # resolve the module default OUTSIDE the jit cache key so flipping
     # DX_PACK_DEFAULT between calls retraces correctly
     if dx_pack is None:
         dx_pack = DX_PACK_DEFAULT
+    halo_prev, halo_next = halo if halo is not None else (None, None)
+    halo_prev2, halo_next2 = halo2 if halo2 is not None else (None, None)
     return _gn_swish_conv3x3(
         x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
         stats_in, res_kernel, res_bias, stats_in2,
+        halo_prev, halo_next, halo_prev2, halo_next2,
         num_groups=num_groups, eps=eps,
         interpret=interpret, rows=rows, emit_stats=emit_stats,
-        dx_pack=bool(dx_pack),
+        dx_pack=bool(dx_pack), axis_name=axis_name,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "eps", "interpret", "rows",
-                     "emit_stats", "dx_pack"),
+                     "emit_stats", "dx_pack", "axis_name"),
 )
 def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                       residual=None, x2=None, stats_in=None,
                       res_kernel=None, res_bias=None, stats_in2=None,
+                      halo_prev=None, halo_next=None,
+                      halo_prev2=None, halo_next2=None,
                       num_groups=32,
                       eps=1e-5, interpret=False, rows=None,
-                      emit_stats=False, dx_pack=True):
+                      emit_stats=False, dx_pack=True, axis_name=None):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
 
     x: (B, H, W, C); gn_scale, gn_bias: (C_total,); kernel:
@@ -291,8 +338,8 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     sr3_modules/unet.py:34-50); residual: optional (B, H, W, Cout) added
     before the write; x2: optional (B, H, W, C2) second source treated
     as channel-concat [x, x2] (C_total = C + C2) — the up-path skip
-    concat without materializing it; stats_in: optional (B, 2, C)
-    per-channel [sum, sumsq] of x over H*W (from a previous call's
+    concat without materializing it; stats_in: optional (B, H, 2, C)
+    per-row [sum, sumsq] of x over W (from a previous call's
     emit_stats) replacing the stats read for x; res_kernel/res_bias:
     optional (1, 1, C_total, Cout) 1x1 projection of the RAW input
     (the resblock's res_conv, sr3_modules/unet.py:104-107) computed in
@@ -300,9 +347,20 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     read of [x, x2].
 
     Returns (B, H, W, Cout) in x.dtype; with ``emit_stats`` also the
-    (B, 2, Cout) f32 per-channel [sum, sumsq] of out; with
+    (B, H, 2, Cout) f32 per-row [sum, sumsq] of out; with
     ``res_kernel`` also the (B, H, W, Cout) res projection (appended
     last).
+
+    Spatial sharding (inside shard_map): with ``axis_name`` set, x is an
+    H-shard; GroupNorm moments are rebuilt from all_gather'ed per-row
+    partials so they are BITWISE equal to the single-device moments
+    (see _reduce_row_stats — pmean would reassociate at f32 level and
+    the var subtraction amplifies that by (mean/std)^2), and
+    halo_prev/halo_next (B, 1, W, C) — the neighbor ranks' boundary rows
+    from parallel.spatial.exchange_halo — replace the zero-padding at
+    this shard's first/last row (still zeroed at the true image edges
+    via the rank index). Emitted stats stay LOCAL per-row partials;
+    downstream consumers gather them the same way.
     """
     B, H, W, C = x.shape
     C2 = x2.shape[-1] if x2 is not None else 0
@@ -328,17 +386,17 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         out = _gn_swish_conv3x3(
             x, gn_scale, gn_bias, kernel, bias, time_bias, residual, x2,
             stats_in, res_kernel, res_bias, stats_in2,
+            halo_prev, halo_next, halo_prev2, halo_next2,
             num_groups=num_groups,
             eps=eps, interpret=interpret, rows=rows,
-            emit_stats=emit_stats, dx_pack=dx_pack,
+            emit_stats=emit_stats, dx_pack=dx_pack, axis_name=axis_name,
         )
         parts = list(out) if isinstance(out, (list, tuple)) else [out]
         parts[0] = parts[0][..., :Cout]
         if emit_stats:
-            # recompute exact moments of the sliced output on the host
-            # side of the kernel (stats of padded channels are zeros,
-            # slicing the stats vector is enough)
-            parts[1] = parts[1][:, :, :Cout]
+            # stats of padded channels are zeros; slicing the channel
+            # axis of the (B, H, 2, Cpad) per-row stats is enough
+            parts[1] = parts[1][..., :Cout]
         if res_kernel is not None:
             parts[-1] = parts[-1][..., :Cout]
         return parts[0] if len(parts) == 1 else tuple(parts)
@@ -349,22 +407,41 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     dx_pack = bool(dx_pack) and Cout < 128 and Cout % 64 == 0
 
     # ---- group stats -> per-(b, c) scale/shift over [x, x2]
-    if stats_in is not None:
-        mean_c = stats_in[:, 0].astype(jnp.float32) / hw
-        ex2_c = stats_in[:, 1].astype(jnp.float32) / hw
-    else:
-        mean_c, ex2_c = _channel_moments(x)
+    # hw is GLOBAL H*W under spatial sharding (moments are image-wide)
+    hw_g = hw * (jax.lax.psum(1, axis_name) if axis_name is not None else 1)
+    s, s2 = _reduce_row_stats(
+        stats_in if stats_in is not None else _row_moments(x), axis_name)
+    mean_c, ex2_c = s / hw_g, s2 / hw_g
     if x2 is not None:
-        if stats_in2 is not None:
-            # skip tensors carry their producing block's output moments
-            # through the UNet skip stack — no extra HBM read of x2
-            m2 = stats_in2[:, 0].astype(jnp.float32) / hw
-            e2 = stats_in2[:, 1].astype(jnp.float32) / hw
-        else:
-            m2, e2 = _channel_moments(x2)
-        mean_c = jnp.concatenate([mean_c, m2], axis=1)
-        ex2_c = jnp.concatenate([ex2_c, e2], axis=1)
+        # skip tensors carry their producing block's output moments
+        # through the UNet skip stack — no extra HBM read of x2
+        s, s2 = _reduce_row_stats(
+            stats_in2 if stats_in2 is not None else _row_moments(x2),
+            axis_name)
+        mean_c = jnp.concatenate([mean_c, s / hw_g], axis=1)
+        ex2_c = jnp.concatenate([ex2_c, s2 / hw_g], axis=1)
     scale, shift = _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps)
+
+    # pre-activate + edge-zero the exchanged halo rows on the host side
+    # of the pallas_call (rank identity is dynamic; the kernel just
+    # consumes ready rows at its first/last slab)
+    has_halo = halo_prev is not None
+    if has_halo:
+        from ..parallel.spatial import edge_flags
+
+        is_first, is_last = edge_flags(axis_name)
+
+        def halo_act(row, sc, sh, zero_at):
+            a = (row.astype(jnp.bfloat16).astype(jnp.float32)
+                 * sc[:, None, None, :] + sh[:, None, None, :])
+            a = (a * jax.nn.sigmoid(a)).astype(jnp.bfloat16)
+            return jnp.where(zero_at, jnp.zeros_like(a), a)
+
+        hp = halo_act(halo_prev, scale[:, :C], shift[:, :C], is_first)
+        hn = halo_act(halo_next, scale[:, :C], shift[:, :C], is_last)
+        if x2 is not None:
+            hp2 = halo_act(halo_prev2, scale[:, C:], shift[:, C:], is_first)
+            hn2 = halo_act(halo_next2, scale[:, C:], shift[:, C:], is_last)
 
     # per-source kernel layout, matching the kernel body's matmul form:
     #   C % 128 == 0 (dy-split): (3, C, 3*Cout) packed / (3,3,C,Cout)
@@ -419,12 +496,22 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                          memory_space=pltpu.VMEM),
         ]
 
+    def halo_specs(c):
+        return [pl.BlockSpec((None, 1, W, c), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)] * 2
+
     in_specs = src_specs(C)
     inputs = [xb, xb, xb]
+    if has_halo:
+        in_specs += halo_specs(C)
+        inputs += [hp, hn]
     if x2 is not None:
         x2b = x2.astype(jnp.bfloat16)
         in_specs += src_specs(C2)
         inputs += [x2b, x2b, x2b]
+        if has_halo:
+            in_specs += halo_specs(C2)
+            inputs += [hp2, hn2]
         # second source's kernel matrix and scale/shift (separate arrays:
         # an in-kernel lane slice at offset C may be tile-misaligned)
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
@@ -459,10 +546,12 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     out_specs = [pl.BlockSpec((None, rows, W, Cout), cur_map,
                               memory_space=pltpu.VMEM)]
     if emit_stats:
-        # same (b)-block revisited every i step -> sequential accumulate
-        out_shape.append(jax.ShapeDtypeStruct((B, 2, Cout), jnp.float32))
-        out_specs.append(pl.BlockSpec((None, 2, Cout),
-                                      lambda b, i: (b, 0, 0),
+        # per-row [sum, sumsq] partials, slab-indexed (no cross-slab
+        # accumulation: partition-independent canonical stat units)
+        out_shape.append(jax.ShapeDtypeStruct((B, H, 2, Cout),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((None, rows, 2, Cout),
+                                      lambda b, i: (b, i, 0, 0),
                                       memory_space=pltpu.VMEM))
     if emit_res:
         out_shape.append(jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype))
@@ -472,7 +561,8 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     def kernel_fn(*refs):
         _kernel(refs, rows=rows, H=H, W=W, C=C, C2=C2, Cout=Cout,
                 has_tb=has_tb, has_res=has_res, has_x2=x2 is not None,
-                emit_stats=emit_stats, dx_pack=dx_pack, emit_res=emit_res)
+                emit_stats=emit_stats, dx_pack=dx_pack, emit_res=emit_res,
+                has_halo=has_halo)
 
     multi = emit_stats or emit_res
     result = pl.pallas_call(

@@ -75,7 +75,8 @@ class GN(nn.Module):
         g = self.num_groups
         xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, c // g)
         mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4),
+                       keepdims=True)
         xn = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
         return (xn * scale + bias).astype(x.dtype)
 
@@ -113,6 +114,9 @@ class Block(nn.Module):
     dropout: float = 0.0
     norm: str = "group"
     fuse: bool = False
+    # shard_map spatial axis: H is sharded over this mesh axis; the
+    # fused kernel gets neighbor halo rows + pmean'ed GroupNorm stats
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False, time_bias=None, residual=None,
@@ -128,6 +132,11 @@ class Block(nn.Module):
         fuse = (self.fuse and not train and self.norm == "group"
                 and c_total % self.norm_groups == 0
                 and not self.is_initializing())
+        if self.spatial_axis and not self.is_initializing() and not fuse:
+            raise NotImplementedError(
+                "spatial_axis requires the fused inference path "
+                "(fuse=True, GroupNorm, channels % norm_groups == 0)"
+            )
         if fuse:
             from ..kernels.fused_conv import gn_swish_conv3x3
 
@@ -138,6 +147,13 @@ class Block(nn.Module):
             kernel, cbias = Conv2d(self.dim_out, 3, name="conv")(
                 jnp.zeros((1, 1, 1, c_total), x.dtype), params_only=True
             )
+            halo = halo2 = None
+            if self.spatial_axis:
+                from ..parallel.spatial import exchange_halo
+
+                halo = exchange_halo(x, self.spatial_axis)
+                if x2 is not None:
+                    halo2 = exchange_halo(x2, self.spatial_axis)
             interpret = jax.devices()[0].platform == "cpu"
             result = gn_swish_conv3x3(
                 x, gn_scale, gn_bias, kernel, cbias,
@@ -145,7 +161,8 @@ class Block(nn.Module):
                 stats_in=stats_in, num_groups=self.norm_groups,
                 interpret=interpret, emit_stats=emit_stats,
                 res_kernel=res_kernel, res_bias=res_bias,
-                stats_in2=stats_in2,
+                stats_in2=stats_in2, axis_name=self.spatial_axis,
+                halo=halo, halo2=halo2,
             )
             if isinstance(result, (list, tuple)):
                 return tuple(result)
@@ -226,6 +243,7 @@ class ResnetBlock(nn.Module):
     # 25.1 ms at 512^2 128+64->64, loses at the >=128-channel levels)
     fuse_skip: object = "auto"
     fuse_stats: bool = True  # chain GroupNorm moments between blocks
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, emb, train=False, x2=None, stats_in=None,
@@ -239,6 +257,10 @@ class ResnetBlock(nn.Module):
         fuse = (self.fuse and not train and self.norm == "group"
                 and not self.use_affine_level
                 and not self.is_initializing())
+        if self.spatial_axis and not fuse and not self.is_initializing():
+            raise NotImplementedError(
+                "spatial_axis requires the fused inference path"
+            )
         fuse_skip = (self.dim_out < 128 if self.fuse_skip == "auto"
                      else bool(self.fuse_skip))
         if fuse and x2 is not None and not fuse_skip:
@@ -272,7 +294,8 @@ class ResnetBlock(nn.Module):
                     jnp.zeros((1, 1, 1, c_in), x.dtype), params_only=True
                 )
             b1 = Block(self.dim_out, self.norm_groups, norm=self.norm,
-                       fuse=True, name="block1")(
+                       fuse=True, spatial_axis=self.spatial_axis,
+                       name="block1")(
                 x, train, time_bias=tb, x2=x2,
                 emit_stats=self.fuse_stats, stats_in=stats_in,
                 res_kernel=res_k, res_bias=res_b,
@@ -286,7 +309,8 @@ class ResnetBlock(nn.Module):
                 res = (jnp.concatenate([x, x2], axis=-1)
                        if x2 is not None else x)
             out = Block(self.dim_out, self.norm_groups, self.dropout,
-                        self.norm, fuse=True, name="block2")(
+                        self.norm, fuse=True,
+                        spatial_axis=self.spatial_axis, name="block2")(
                 h, train, residual=res, stats_in=s1,
                 emit_stats=emit_stats)
             return out if emit_stats else (out, None)
@@ -323,9 +347,25 @@ class SelfAttention(nn.Module):
     n_head: int = 1
     norm_groups: int = 32
     norm: str = "group"
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
+        sharded = bool(self.spatial_axis) and not self.is_initializing()
+        h_loc = x.shape[1]
+        if sharded:
+            # H-sharded: all_gather the input (exact data movement) and
+            # run the ENTIRE attention block as the single-device
+            # program, then slice the local rows back out. Attention
+            # only runs at the UNet's smallest resolutions (attn_res +
+            # mid), so the replicated compute is negligible — and it is
+            # the only formulation that keeps the sharded output BITWISE
+            # equal to single-device: attention is global anyway, and
+            # any f32-level difference (a distributed softmax/norm
+            # reassociates its reductions) gets amplified ~(mean/std)^2
+            # per downstream GroupNorm into 1e-3-scale divergence.
+            x = jax.lax.all_gather(x, self.spatial_axis, axis=1,
+                                   tiled=True)
         b, h, w, c = x.shape
         head_dim = c // self.n_head
         y = Norm(c, self.norm, self.norm_groups, name="norm")(x, train)
@@ -338,7 +378,12 @@ class SelfAttention(nn.Module):
         out = spatial_attention(q, k, v, scale=1.0 / math.sqrt(c))
         out = out.reshape(b, h, w, c)
         out = Conv2d(c, 1, name="out")(out)
-        return out + x
+        out = out + x
+        if sharded:
+            idx = jax.lax.axis_index(self.spatial_axis)
+            out = jax.lax.dynamic_slice_in_dim(out, idx * h_loc, h_loc,
+                                               axis=1)
+        return out
 
 
 class ResnetBlocWithAttn(nn.Module):
@@ -351,6 +396,7 @@ class ResnetBlocWithAttn(nn.Module):
     fuse: bool = False
     fuse_skip: object = "auto"
     fuse_stats: bool = True
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, emb, train=False, x2=None, stats_in=None,
@@ -363,13 +409,13 @@ class ResnetBlocWithAttn(nn.Module):
             self.dim_out, self.norm_groups, self.dropout,
             norm=self.norm, discrete=self.discrete, fuse=self.fuse,
             fuse_skip=self.fuse_skip, fuse_stats=self.fuse_stats,
-            name="res_block",
+            spatial_axis=self.spatial_axis, name="res_block",
         )(x, emb, train, x2=x2, stats_in=stats_in, x2_stats=x2_stats,
           emit_stats=not self.with_attn and self.fuse_stats)
         if self.with_attn:
             x = SelfAttention(
                 self.dim_out, norm_groups=self.norm_groups, norm=self.norm,
-                name="attn",
+                spatial_axis=self.spatial_axis, name="attn",
             )(x, train)
             stats = None
         return x, stats
@@ -397,8 +443,17 @@ class UNet(nn.Module):
     # riding x2 through the kernel beats the materialized concat
     # (bench_kernels.py: 20.3 vs 25.1 ms at 512^2 128+64->64; slower
     # at every >=128-channel level)
-    fuse_skip: object = "auto" 
+    fuse_skip: object = "auto"
     fuse_stats: bool = True    # GroupNorm stats chaining in fused blocks
+    # shard_map spatial parallelism: when set (inference only), every
+    # tensor is an H-shard over this mesh axis; convs exchange 1-row
+    # halos over ICI, GroupNorm moments ride all_gathered per-row
+    # partials (bitwise-equal to single-device), attention gathers its
+    # (tiny) input and runs replicated — the fused Pallas kernels stay
+    # in play, which GSPMD auto-partitioning could not do (pallas_call
+    # is opaque to it), and the sharded forward is BIT-exact vs the
+    # single-device fused forward (tests/test_spatial_fused.py)
+    spatial_axis: str | None = None
 
     def _block(self, *args, name, **kwargs):
         cls = ResnetBlocWithAttn
@@ -406,7 +461,21 @@ class UNet(nn.Module):
             cls = nn.remat(cls, static_argnums=(3,))
         return cls(*args, **kwargs, fuse=self.fuse_blocks,
                    fuse_skip=self.fuse_skip, fuse_stats=self.fuse_stats,
-                   name=name)
+                   spatial_axis=self.spatial_axis, name=name)
+
+    def _boundary_conv(self, x, features, name, stride=1):
+        """3x3 boundary conv (initial / downsample): halo-exchanged
+        under spatial sharding, plain Conv2d otherwise."""
+        if self.spatial_axis and not self.is_initializing():
+            from ..parallel.spatial import conv3x3_spatial
+
+            kernel, bias = Conv2d(features, 3, stride=stride, name=name)(
+                jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype),
+                params_only=True,
+            )
+            return conv3x3_spatial(x, kernel, bias, self.spatial_axis,
+                                   stride=stride)
+        return Conv2d(features, 3, stride=stride, name=name)(x)
 
     @nn.compact
     def __call__(self, x, time, train=False):
@@ -434,7 +503,7 @@ class UNet(nn.Module):
         # the skip stack stores (tensor, stats): fused resblocks emit
         # their output's channel moments, so the up-path GroupNorm over
         # a skip needs no extra HBM stats read (boundary convs push None)
-        h = Conv2d(self.inner_channel, 3, name="downs_0")(x)
+        h = self._boundary_conv(x, self.inner_channel, "downs_0")
         feats.append((h, None))
         h_stats = None
         li = 1
@@ -450,7 +519,8 @@ class UNet(nn.Module):
                 feats.append((h, h_stats))
                 li += 1
             if not is_last:
-                h = Conv2d(h.shape[-1], 3, stride=2, name=f"downs_{li}_conv")(h)
+                h = self._boundary_conv(h, h.shape[-1], f"downs_{li}_conv",
+                                        stride=2)
                 feats.append((h, None))
                 h_stats = None
                 li += 1
@@ -487,14 +557,20 @@ class UNet(nn.Module):
                 b, hh, ww, cc = h.shape
                 if (self.fuse_blocks and not train
                         and not self.is_initializing()):
-                    # exact 4-phase 2x2 conv: never materializes the
+                    # exact dilated conv: never materializes the
                     # nearest-upsampled intermediate (ops/fused_up.py)
-                    from ..ops.fused_up import up2_conv3x3
-
                     kernel, cbias = Conv2d(cc, 3, name=f"ups_{li}_conv")(
                         jnp.zeros((1, 1, 1, cc), h.dtype), params_only=True
                     )
-                    h = up2_conv3x3(h, kernel, cbias)
+                    if self.spatial_axis:
+                        from ..parallel.spatial import up2_conv3x3_spatial
+
+                        h = up2_conv3x3_spatial(h, kernel, cbias,
+                                                self.spatial_axis)
+                    else:
+                        from ..ops.fused_up import up2_conv3x3
+
+                        h = up2_conv3x3(h, kernel, cbias)
                 else:
                     h = jax.image.resize(
                         h, (b, hh * 2, ww * 2, cc), method="nearest"
@@ -506,5 +582,6 @@ class UNet(nn.Module):
 
         return Block(
             self.out_channel, self.norm_groups, norm=self.norm,
-            fuse=self.fuse_blocks, name="final_conv"
+            fuse=self.fuse_blocks, spatial_axis=self.spatial_axis,
+            name="final_conv"
         )(h, train, stats_in=h_stats)

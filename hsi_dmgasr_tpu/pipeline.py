@@ -184,13 +184,72 @@ class DMGASRPipeline:
         """GAE round-trip (no diffusion) — stage-1 quality check."""
         return jnp.clip(self.decode(self.encode(cube)), 0.0, 1.0)
 
-    def super_resolve_spatial(self, sr_cube, mesh, key=None):
+    def _spatial_sampler(self, mesh, shape, replay, fused):
+        """Cached shard_map reverse-chain runner over ('data','space').
+
+        fused=True runs the Pallas fused UNet with explicit H-halo
+        exchange + pmean GroupNorm (parallel/spatial.py) — round 2
+        forfeited the fused kernels here because GSPMD cannot partition
+        pallas_call. fused=False keeps the GSPMD-partitioned unfused
+        path. replay=True additionally takes x_init/noise_seq so the
+        chain is bit-identical to the single-device sampler."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        ck = ("spatial", shape, replay, fused,
+              tuple(sorted(mesh.shape.items())))
+        if not hasattr(self, "_spatial_cache"):
+            self._spatial_cache = {}
+        if ck in self._spatial_cache:
+            return self._spatial_cache[ck]
+
+        diffusion = self.ddpm.val_diffusion
+        unet = self.ddpm.unet
+        unet_sp = unet.clone(
+            fuse_blocks=True, spatial_axis="space"
+        ) if fused else unet
+
+        def local_fn(params, key, cond, x_init, noise_seq):
+            def denoise_fn(x, t):
+                return unet_sp.apply({"params": params}, x, t, train=False)
+
+            if not replay:
+                # independent per-rank noise (a valid sample; replay mode
+                # exists for exact single-device parity in tests)
+                key = jax.random.fold_in(key, jax.lax.axis_index("space"))
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+                x_init = noise_seq = None
+            return diffusion.sample_loop(
+                denoise_fn, key, cond=cond, x_init=x_init,
+                noise_seq=noise_seq,
+            )
+
+        sh = P("data", "space")
+        fn = jax.jit(shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(), sh,
+                      sh if replay else P(),
+                      P(None, "data", "space") if replay else P()),
+            out_specs=sh, check_vma=False,
+        ))
+        self._spatial_cache[ck] = fn
+        return fn
+
+    def super_resolve_spatial(self, sr_cube, mesh, key=None, fused=True,
+                              replay_noise=False):
         """Single-cube LATENCY scaling over a 2-D ('data','space') mesh:
-        band groups ride 'data', image height rides 'space'. XLA
-        partitions every conv over H and inserts the halo exchanges and
-        GroupNorm all-reduces over ICI — a capability the reference's
-        DataParallel (batch-only) cannot express. Use the unfused UNet
-        (Pallas calls are not auto-partitionable over 'space')."""
+        band groups ride 'data', image height rides 'space'.
+
+        fused=True (default): shard_map with explicit ICI halo exchange
+        feeding the fused Pallas kernels — full round-2 kernel speedup
+        under sharding, a capability the reference's batch-only
+        DataParallel (model/networks.py:113-115) cannot express.
+        fused=False: round-2 behavior (GSPMD auto-partitioned unfused
+        UNet). replay_noise=True draws the whole noise sequence up front
+        so the chain is bit-identical to single-device sampling."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.mesh import replicate
@@ -214,11 +273,28 @@ class DMGASRPipeline:
         cond = jax.device_put(
             cond, NamedSharding(mesh, P("data", "space"))
         )
-        params = replicate(mesh, self.ddpm.state.params)
-        stats = (replicate(mesh, self.ddpm.state.batch_stats)
-                 if self.ddpm.state.batch_stats is not None else None)
-        run = self.ddpm._get_sampler(tuple(cond.shape))
-        z_out = run(params, stats, key, cond)
+        params = replicate(mesh, self.ddpm.eval_params)
+        if not fused:
+            stats = (replicate(mesh, self.ddpm.state.batch_stats)
+                     if self.ddpm.state.batch_stats is not None else None)
+            run = self.ddpm._get_sampler(tuple(cond.shape))
+            z_out = run(params, stats, key, cond)
+        else:
+            if replay_noise:
+                # reproduce sample_loop's internal draws exactly
+                T = diffusion_T = self.ddpm.val_diffusion.schedule.num_timesteps
+                k_init, k_steps = jax.random.split(key)
+                x_init = jax.random.normal(k_init, cond.shape, jnp.float32)
+                step_keys = jax.random.split(k_steps, diffusion_T)
+                noise_seq = jax.vmap(
+                    lambda k: jax.random.normal(k, cond.shape, jnp.float32)
+                )(step_keys)
+            else:
+                x_init = jnp.zeros((), jnp.float32)
+                noise_seq = jnp.zeros((), jnp.float32)
+            run = self._spatial_sampler(mesh, tuple(cond.shape),
+                                        replay_noise, True)
+            z_out = run(params, key, cond, x_init, noise_seq)
         if pad:
             z_out = z_out[:orig]
         y = self._decode(gv, self._unfold(z_out, b))

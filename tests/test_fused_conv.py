@@ -85,8 +85,8 @@ def test_fused_two_source_concat():
 
 
 def test_fused_stats_chaining():
-    """emit_stats yields exact per-channel [sum, sumsq] of the output,
-    and feeding them back via stats_in reproduces the stats-read path."""
+    """emit_stats yields exact per-ROW [sum, sumsq] of the output, and
+    feeding them back via stats_in reproduces the stats-read path."""
     rng = np.random.RandomState(4)
     b, h, w, c = 2, 16, 16, 16
     x = rng.randn(b, h, w, c).astype(np.float32)
@@ -98,10 +98,11 @@ def test_fused_stats_chaining():
                                   num_groups=8, interpret=True,
                                   emit_stats=True)
     of = np.asarray(out, np.float32)
-    np.testing.assert_allclose(np.asarray(stats[:, 0]),
-                               of.sum((1, 2)), rtol=2e-2, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(stats[:, 1]),
-                               (of ** 2).sum((1, 2)), rtol=2e-2, atol=1e-2)
+    assert stats.shape == (b, h, 2, c)
+    np.testing.assert_allclose(np.asarray(stats[:, :, 0]),
+                               of.sum(2), rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(stats[:, :, 1]),
+                               (of ** 2).sum(2), rtol=2e-2, atol=1e-2)
     # chained second block == second block with its own stats read
     want = gn_swish_conv3x3(of, gn_scale, gn_bias, kernel, bias,
                             num_groups=8, interpret=True)
@@ -239,8 +240,8 @@ def test_fused_x2_stats_chaining():
     bias = rng.randn(cout).astype(np.float32) * 0.1
     want = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, x2=x2,
                             num_groups=8, interpret=True)
-    s2 = np.stack([x2.sum((1, 2)), (x2.astype(np.float64) ** 2)
-                   .sum((1, 2)).astype(np.float32)], axis=1)
+    s2 = np.stack([x2.sum(2), (x2.astype(np.float64) ** 2)
+                   .sum(2).astype(np.float32)], axis=2)
     got = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, x2=x2,
                            stats_in2=jnp.asarray(s2), num_groups=8,
                            interpret=True)

@@ -221,8 +221,8 @@ def test_mesh_inference_equals_single_device():
 
 
 def test_spatial_sharded_inference_equals_single(tiny_pipeline):
-    """2x4 ('data','space') mesh: groups over data, H over space — the
-    single-cube latency mode. XLA inserts conv halo exchanges and
+    """2x4 ('data','space') mesh, UNFUSED GSPMD path (round-2 behavior):
+    groups over data, H over space — XLA inserts conv halo exchanges and
     GroupNorm all-reduces; output must match the 1-device pipeline."""
     rng = np.random.RandomState(7)
     sr = rng.rand(1, 16, 16, 31).astype(np.float32)
@@ -230,8 +230,35 @@ def test_spatial_sharded_inference_equals_single(tiny_pipeline):
     want = np.asarray(tiny_pipeline.super_resolve(sr, key=key))
     mesh = dmgasr_mesh(2, 4)
     got = np.asarray(
-        tiny_pipeline.super_resolve_spatial(sr, mesh, key=key)
+        tiny_pipeline.super_resolve_spatial(sr, mesh, key=key, fused=False)
     )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_sharded_FUSED_inference_equals_single():
+    """VERDICT r2 item 2 done-criterion: spatial-sharded FUSED inference
+    (shard_map + halo exchange feeding the Pallas kernels, interpret
+    mode) == single-device fused to 1e-4 on the 8-vdev CPU mesh."""
+    import copy
+
+    opt = copy.deepcopy(TINY_OPT)
+    opt["model"]["unet"]["fuse"] = True
+    gae = GAE(n_subs=8, n_ovls=2, n_colors=31, n_feats=16)
+    x = np.zeros((1, 16, 16, 31), np.float32)
+    gae_vars = gae.init(jax.random.PRNGKey(0), x)
+    cfg = {"n_subs": 8, "n_ovls": 2, "n_colors": 31, "n_feats": 16, "G": 5}
+    pipe = DMGASRPipeline(opt, gae_vars, cfg, ddpm=DDPMModel(opt, seed=0))
+    assert pipe.ddpm.unet.fuse_blocks
+
+    rng = np.random.RandomState(8)
+    sr = rng.rand(1, 16, 16, 31).astype(np.float32)
+    key = jax.random.PRNGKey(22)
+    want = np.asarray(pipe.super_resolve(sr, key=key))
+    mesh = dmgasr_mesh(2, 4)
+    got = np.asarray(pipe.super_resolve_spatial(
+        sr, mesh, key=key, fused=True, replay_noise=True
+    ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
