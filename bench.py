@@ -120,7 +120,20 @@ def build(args):
         def denoise_fn(x, t):
             return unet.apply(uv, x.astype(dtype), t.astype(dtype))
 
-        z_out = diffusion.sample_loop(denoise_fn, key, cond=cond)
+        n = cond.shape[0]
+        if args.chunk and n > args.chunk and n % args.chunk == 0:
+            # chunk the (B*G) latent batch through the reverse chain:
+            # sampler temporaries scale with the chunk, so batch 4
+            # (36 latent images at 512^2) fits single-chip HBM
+            conds = cond.reshape(n // args.chunk, args.chunk, h, w, c)
+            keys = jax.random.split(key, n // args.chunk)
+            z_out = jax.lax.map(
+                lambda kc: diffusion.sample_loop(denoise_fn, kc[0],
+                                                 cond=kc[1]),
+                (keys, conds),
+            ).reshape(n, h, w, c)
+        else:
+            z_out = diffusion.sample_loop(denoise_fn, key, cond=cond)
         y = gae.apply(
             gv, z_out.reshape(b, g, h, w, c).astype(dtype),
             method=GAE.decode,
@@ -146,6 +159,14 @@ def main():
                          "riding them through the fused kernel")
     ap.add_argument("--no-fuse-stats", action="store_true",
                     help="disable GroupNorm stats chaining")
+    ap.add_argument("--profile", action="store_true",
+                    help="add MFU/roofline telemetry to the JSON line "
+                         "(analytic model: utils/roofline.py — XLA "
+                         "cost_analysis cannot see inside pallas calls)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="latent images per sampler chunk (0 = whole "
+                         "B*G batch in one scan); bounds sampler "
+                         "temporaries so large batches fit HBM")
     args = ap.parse_args()
 
     import jax
@@ -197,12 +218,46 @@ def main():
     }
     print(json.dumps(info), file=sys.stderr)
     per_cube = secs / args.batch
-    print(json.dumps({
+    out = {
         "metric": "dmgasr_x4_512x512x102_cube_seconds",
         "value": round(per_cube, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / per_cube, 3),
-    }))
+    }
+    if args.profile:
+        # analytic roofline (utils/roofline.py): XLA cost_analysis is
+        # blind inside pallas custom calls, so FLOPs/bytes come from the
+        # op-walk model of the fused UNet. Sampler ~= 97% of the cube
+        # time (BENCHMARKS.md per-component timing), so per-step
+        # telemetry divides by T after removing nothing.
+        from hsi_dmgasr_tpu.utils.roofline import step_roofline
+
+        dk = getattr(jax.devices()[0], "device_kind", "TPU v5 lite")
+        n_lat = n_groups * args.batch
+        eff_b = min(n_lat, args.chunk) if args.chunk else n_lat
+        rl = step_roofline(eff_b, size,
+                           inner=64 if not args.small else 16,
+                           mults=(1, 2, 4, 8, 8) if not args.small
+                           else (1, 2),
+                           device_kind=dk)
+        n_seq = max(1, n_lat // eff_b)  # sequential chunks per call
+        step_s = secs / args.timesteps
+        att = rl["attainable_s"] * n_seq
+        out["profile"] = {
+            "device_kind": dk,
+            "peak_bf16_tflops": rl["peak_tflops"],
+            "peak_hbm_gbps": rl["peak_gbps"],
+            "step_gflop": round(rl["total_gflop"] * n_seq, 1),
+            "step_min_hbm_gb": round(rl["total_gb"] * n_seq, 3),
+            "step_measured_ms": round(step_s * 1e3, 2),
+            "step_attainable_ms": round(att * 1e3, 2),
+            "achieved_tflops": round(
+                rl["total_gflop"] * n_seq / step_s / 1e3, 1),
+            "achieved_min_gbps": round(
+                rl["total_gb"] * n_seq / step_s, 1),
+            "pct_of_attainable": round(100.0 * att / step_s, 1),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

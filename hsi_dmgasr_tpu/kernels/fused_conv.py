@@ -58,6 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 # along N into one matmul (vs three shared-LHS matmuls). Measured
 # per-shape on v5e via tools/bench_kernels.py.
 DX_PACK_DEFAULT = True
+# W-pair packing for C == 64 sources (see the pair block in
+# _gn_swish_conv3x3): module default so benches can A/B it
+PAIR_DEFAULT = True
 
 
 def _pad128(c):
@@ -128,11 +131,14 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
         nxt = jnp.where(i < nb - 1, nxt, hn_ref[...])
     t = jnp.concatenate([prev, cur, nxt], axis=0)  # (rows+2, W, C) bf16
 
-    if C % 128 == 0:
+    if C % 64 == 0:
         # dy-split: K=C matmuls straight off row-slices of the slab —
-        # major-axis slices reshape for free, so NO im2col copy, and at
-        # C % 128 == 0 the padded MXU flops are identical to the fused-K
-        # formulation
+        # major-axis slices reshape for free, so NO im2col copy. At
+        # C % 128 == 0 the padded MXU flops match the fused-K form
+        # exactly; at C == 64 the three K=64 passes cost ~1.5x the
+        # padded im2col matmul on paper but skip the misaligned
+        # 3x64-lane concat that dominates the im2col branch (measured
+        # 5.4 -> 3.1 ms on the 512^2x64 block, tools/bench_block_variants.py)
         for dy in range(3):
             sl = t[dy:rows + dy].reshape(rows * W, C)
             if dx_pack:
@@ -401,12 +407,25 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
             parts[-1] = parts[-1][..., :Cout]
         return parts[0] if len(parts) == 1 else tuple(parts)
 
-    # N-packing only pays when Cout under-fills the 128-lane N tile, and
-    # the packed-output lane slices must sit on sublane-rotatable 64-
-    # multiples (Cout=3 final_conv, Cout>=128 up blocks: plain matmuls)
-    dx_pack = bool(dx_pack) and Cout < 128 and Cout % 64 == 0
+    # W-pair packing: at C == 64 every VMEM lane tile is half empty and
+    # the matmuls run at <=50% MXU tile utilization — the measured floor
+    # of the whole 512^2 level (tools/bench_block_variants.py: the bare
+    # block runs 5.4 ms vs a 0.9 ms roofline while the C=128 analog hits
+    # 60% of attainable). Relabel (W, 64) -> (W/2, 128): two adjacent
+    # image columns ride one full 128-lane vector (a free dense-HBM
+    # reshape), the conv becomes a pair-conv whose kernel matrices are
+    # 2x2 channel-parity blocks (see kprep), and the dx resolution is
+    # the SAME packed-N roll epilogue over pair columns. The kernel body
+    # is unchanged — only the host-side geometry and matrices differ.
+    pair = (PAIR_DEFAULT and C == 64 and C2 in (0, 64) and W % 2 == 0
+            and Cout % 64 == 0 and Cout <= 128)
+    # N-packing only pays when Cout under-fills the 128-lane N tile
+    # (pair geometry packs 3 full tiles; Cout=3 final_conv, Cout>=128
+    # up blocks: plain matmuls)
+    dx_pack = bool(dx_pack) and (pair or (Cout < 128 and Cout % 64 == 0))
 
     # ---- group stats -> per-(b, c) scale/shift over [x, x2]
+    # (all at LOGICAL channels, before any pair relabel)
     # hw is GLOBAL H*W under spatial sharding (moments are image-wide)
     hw_g = hw * (jax.lax.psum(1, axis_name) if axis_name is not None else 1)
     s, s2 = _reduce_row_stats(
@@ -421,6 +440,32 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         mean_c = jnp.concatenate([mean_c, s / hw_g], axis=1)
         ex2_c = jnp.concatenate([ex2_c, s2 / hw_g], axis=1)
     scale, shift = _scale_shift(gn_scale, gn_bias, mean_c, ex2_c, G, eps)
+    sc1, sh1 = scale[:, :C], shift[:, :C]
+    sc2, sh2 = ((scale[:, C:], shift[:, C:]) if x2 is not None
+                else (None, None))
+
+    Cl, C2l, Coutl = C, C2, Cout  # logical sizes (kernel slicing, unpack)
+    if pair:
+        def _pp(a):
+            return a.reshape(*a.shape[:-2], a.shape[-2] // 2,
+                             2 * a.shape[-1])
+
+        def _t2(v):
+            return jnp.tile(v, (1, 2))
+
+        x = _pp(x)
+        sc1, sh1 = _t2(sc1), _t2(sh1)
+        if x2 is not None:
+            x2 = _pp(x2)
+            sc2, sh2 = _t2(sc2), _t2(sh2)
+        if residual is not None:
+            residual = _pp(residual)
+        if halo_prev is not None:
+            halo_prev, halo_next = _pp(halo_prev), _pp(halo_next)
+            if x2 is not None:
+                halo_prev2, halo_next2 = _pp(halo_prev2), _pp(halo_next2)
+        W, C, Cout = W // 2, 2 * C, 2 * Cout
+        C2 = 2 * C2 if x2 is not None else 0
 
     # pre-activate + edge-zero the exchanged halo rows on the host side
     # of the pallas_call (rank identity is dynamic; the kernel just
@@ -437,19 +482,44 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
             a = (a * jax.nn.sigmoid(a)).astype(jnp.bfloat16)
             return jnp.where(zero_at, jnp.zeros_like(a), a)
 
-        hp = halo_act(halo_prev, scale[:, :C], shift[:, :C], is_first)
-        hn = halo_act(halo_next, scale[:, :C], shift[:, :C], is_last)
+        hp = halo_act(halo_prev, sc1, sh1, is_first)
+        hn = halo_act(halo_next, sc1, sh1, is_last)
         if x2 is not None:
-            hp2 = halo_act(halo_prev2, scale[:, C:], shift[:, C:], is_first)
-            hn2 = halo_act(halo_next2, scale[:, C:], shift[:, C:], is_last)
+            hp2 = halo_act(halo_prev2, sc2, sh2, is_first)
+            hn2 = halo_act(halo_next2, sc2, sh2, is_last)
 
     # per-source kernel layout, matching the kernel body's matmul form:
-    #   C % 128 == 0 (dy-split): (3, C, 3*Cout) packed / (3,3,C,Cout)
-    #   else (im2col):           (dy*C+c, 3*Cout) packed / (3, 3C, Cout)
+    #   pair:                   (3, 2c, 3*2*Coutl) parity-block matrices
+    #   C % 64 == 0 (dy-split): (3, C, 3*Cout) packed / (3,3,C,Cout)
+    #   else (im2col):          (dy*C+c, 3*Cout) packed / (3, 3C, Cout)
     def kprep(k):
         kb = k.astype(jnp.bfloat16)
         c_src = k.shape[2]
-        if c_src % 128 == 0:
+        if pair:
+            # pair-conv: out even col o0 = k0@p1(prev pair) + k1@p0
+            # + k2@p1; odd col o1 = k0@p0 + k1@p1 + k2@p0(next pair).
+            # Packed N order [KL | Kc | KR] matches the epilogue's
+            # [roll +1 | center | roll -1] slots over pair columns.
+            z = jnp.zeros((c_src, Coutl), jnp.bfloat16)
+            mats = []
+            for dy in range(3):
+                k0, k1, k2 = kb[dy, 0], kb[dy, 1], kb[dy, 2]
+                kl = jnp.concatenate(
+                    [jnp.concatenate([z, z], 1),
+                     jnp.concatenate([k0, z], 1)], 0)
+                kc = jnp.concatenate(
+                    [jnp.concatenate([k1, k0], 1),
+                     jnp.concatenate([k2, k1], 1)], 0)
+                kr = jnp.concatenate(
+                    [jnp.concatenate([z, k2], 1),
+                     jnp.concatenate([z, z], 1)], 0)
+                if dx_pack:
+                    mats.append(jnp.concatenate([kl, kc, kr], axis=1))
+                else:
+                    mats.append(jnp.stack([kl, kc, kr]))
+            # packed (3, 2c, 3*2*Coutl) / plain (3, 3, 2c, 2*Coutl)
+            return jnp.stack(mats)
+        if c_src % 64 == 0:  # dy-split branch (see _source_matmuls)
             if dx_pack:
                 return jnp.transpose(kb, (0, 2, 1, 3)).reshape(
                     3, c_src, 3 * k.shape[-1])
@@ -459,12 +529,16 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
             km = jnp.concatenate([km[0], km[1], km[2]], axis=-1)
         return km
 
-    kmat = kprep(kernel[:, :, :C])
-    kmat2 = kprep(kernel[:, :, C:]) if x2 is not None else None
-    bias_f = bias.astype(jnp.float32).reshape(1, Cout)
+    kmat = kprep(kernel[:, :, :Cl])
+    kmat2 = kprep(kernel[:, :, Cl:]) if x2 is not None else None
+    bias_f = bias.astype(jnp.float32).reshape(1, Coutl)
+    if pair:
+        bias_f = jnp.tile(bias_f, (1, 2))
 
     has_tb = time_bias is not None
     has_res = residual is not None
+    if has_tb and pair:
+        time_bias = jnp.tile(time_bias, (1, 2))
     tb = (time_bias.astype(jnp.float32) if has_tb
           else jnp.zeros((B, 1), jnp.float32))
     res = (residual.astype(jnp.bfloat16) if has_res
@@ -515,12 +589,11 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         # second source's kernel matrix and scale/shift (separate arrays:
         # an in-kernel lane slice at offset C may be tile-misaligned)
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-        inputs += [kmat2, scale[:, C:], shift[:, C:]]
-        scale, shift = scale[:, :C], shift[:, :C]
+        inputs += [kmat2, sc2, sh2]
     # tiny per-batch vectors live whole in VMEM (per-batch (None, C)
     # blocks would violate the (8, 128) tiling rule)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-    inputs += [scale, shift, kmat, bias_f, tb]
+    inputs += [sc1, sh1, kmat, bias_f, tb]
     in_specs.append(
         pl.BlockSpec((None, rows, W, Cout), cur_map,
                      memory_space=pltpu.VMEM) if has_res else
@@ -531,16 +604,30 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
 
     emit_res = res_kernel is not None
     if emit_res:
-        rk = res_kernel.reshape(C + C2, Cout).astype(jnp.bfloat16)
+        rk = res_kernel.reshape(Cl + C2l, Coutl).astype(jnp.bfloat16)
+
+        def rk_src(r):
+            if not pair:
+                return r
+            # parity-block-diagonal: the 1x1 projection acts on each
+            # packed column independently
+            z = jnp.zeros_like(r)
+            return jnp.concatenate(
+                [jnp.concatenate([r, z], 1),
+                 jnp.concatenate([z, r], 1)], 0)
+
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        inputs.append(rk[:C])
+        inputs.append(rk_src(rk[:Cl]))
         if x2 is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            inputs.append(rk[C:])
+            inputs.append(rk_src(rk[Cl:]))
         rbias = (res_bias if res_bias is not None
-                 else jnp.zeros((Cout,), jnp.float32))
+                 else jnp.zeros((Coutl,), jnp.float32))
+        rbias = rbias.astype(jnp.float32).reshape(1, Coutl)
+        if pair:
+            rbias = jnp.tile(rbias, (1, 2))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        inputs.append(rbias.astype(jnp.float32).reshape(1, Cout))
+        inputs.append(rbias)
 
     out_shape = [jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)]
     out_specs = [pl.BlockSpec((None, rows, W, Cout), cur_map,
@@ -573,4 +660,14 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         out_shape=out_shape if multi else out_shape[0],
         interpret=interpret,
     )(*inputs)
+    if pair:
+        # unpack the pair geometry: (B, H, W/2, 2*Coutl) relabels back
+        # to (B, H, Wl, Coutl); pair stats fold to per-channel partials
+        parts = list(result) if multi else [result]
+        parts[0] = parts[0].reshape(B, H, 2 * W, Coutl)
+        if emit_stats:
+            parts[1] = parts[1][..., :Coutl] + parts[1][..., Coutl:]
+        if emit_res:
+            parts[-1] = parts[-1].reshape(B, H, 2 * W, Coutl)
+        result = tuple(parts) if multi else parts[0]
     return result

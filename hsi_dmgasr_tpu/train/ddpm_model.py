@@ -222,7 +222,17 @@ class DDPMModel:
         diff_opt = self.opt["model"]["diffusion"] or {}
         sampler = diff_opt.get("sampler") or "ancestral"
         ddim_steps = diff_opt.get("ddim_steps")
-        ck = (shape, unconditional, sampler, ddim_steps, continous)
+        # latent_chunk: run the reverse chain over batch chunks of this
+        # size (lax.map) so sampler temporaries scale with the chunk,
+        # not the full B*G latent batch — large-batch throughput mode
+        # no longer exceeds single-chip HBM. Single-device only: under a
+        # mesh the batch axis is already sharded.
+        chunk = int(diff_opt.get("latent_chunk") or 0)
+        if (unconditional or continous or self.mesh.shape["data"] > 1
+                or not (chunk and shape[0] > chunk
+                        and shape[0] % chunk == 0)):
+            chunk = 0
+        ck = (shape, unconditional, sampler, ddim_steps, continous, chunk)
         if ck not in self._sample_cache:
             diffusion = self.val_diffusion
 
@@ -245,11 +255,22 @@ class DDPMModel:
                         return_intermediates=True, **kw
                     )
                     return x_fin, x_init, inter
-                if sampler == "ddim":
-                    return diffusion.ddim_sample_loop(
-                        denoise_fn, key, steps=ddim_steps, **kw
-                    )
-                return diffusion.sample_loop(denoise_fn, key, **kw)
+                def one(k, c):
+                    kw1 = dict(shape=shape) if unconditional else dict(cond=c)
+                    if sampler == "ddim":
+                        return diffusion.ddim_sample_loop(
+                            denoise_fn, k, steps=ddim_steps, **kw1
+                        )
+                    return diffusion.sample_loop(denoise_fn, k, **kw1)
+
+                if chunk:
+                    conds = cond.reshape(shape[0] // chunk, chunk,
+                                         *shape[1:])
+                    keys = jax.random.split(key, shape[0] // chunk)
+                    return jax.lax.map(
+                        lambda kc: one(kc[0], kc[1]), (keys, conds)
+                    ).reshape(shape)
+                return one(key, cond)
 
             self._sample_cache[ck] = run
         return self._sample_cache[ck]

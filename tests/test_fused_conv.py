@@ -38,6 +38,9 @@ def _unfused(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     # output-roll (ADVICE r2: this branch previously ran untested)
     ((1, 16, 8, 32), 64, "tb"),          # dx_pack via im2col branch
     ((1, 8, 8, 128), 64, "res"),         # dx_pack via dy-split branch
+    ((1, 16, 8, 64), 64, "tb+res"),      # C==64 dy-split: the flagship
+                                         # 512^2-level hot shape
+    ((1, 8, 8, 64), 16, "none"),         # C==64 dy-split, no dx_pack
 ])
 def test_fused_matches_unfused(shape, cout, extras):
     rng = np.random.RandomState(0)
@@ -248,3 +251,71 @@ def test_fused_x2_stats_chaining():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=0.02, rtol=0.02)
+
+
+def test_fused_pair_x2_res_stats():
+    """W-pair-packed geometry (C == 64 sources ride (W/2, 128) lanes)
+    with every extra at once: two 64-channel sources, folded 1x1 res
+    projection, emitted per-row stats chained into a second pair block.
+    This is the flagship 512^2-level up-resblock structure."""
+    rng = np.random.RandomState(11)
+    b, h, w, c, cout = 1, 8, 16, 64, 64
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    x2 = rng.randn(b, h, w, c).astype(np.float32)
+    ct = 2 * c
+    gn_scale = rng.rand(ct).astype(np.float32) + 0.5
+    gn_bias = rng.randn(ct).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, ct, cout).astype(np.float32) / np.sqrt(9 * ct)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    tb = rng.randn(b, cout).astype(np.float32)
+    rk = rng.randn(1, 1, ct, cout).astype(np.float32) * 0.2
+    rb = rng.randn(cout).astype(np.float32) * 0.1
+
+    xc = np.concatenate([x, x2], -1)
+    want = _unfused(xc, gn_scale, gn_bias, kernel, bias, tb)
+    want_res = (
+        xc.reshape(-1, ct) @ rk.reshape(ct, cout) + rb
+    ).reshape(b, h, w, cout)
+
+    got, stats, got_res = gn_swish_conv3x3(
+        x, gn_scale, gn_bias, kernel, bias, time_bias=tb, x2=x2,
+        num_groups=8, interpret=True, emit_stats=True,
+        res_kernel=rk, res_bias=rb,
+    )
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(got_res, np.float32), want_res,
+                               atol=0.05, rtol=0.05)
+    # pair stats fold back to logical per-row [sum, sumsq]
+    of = np.asarray(got, np.float32)
+    assert stats.shape == (b, h, 2, cout)
+    np.testing.assert_allclose(np.asarray(stats[:, :, 0]), of.sum(2),
+                               rtol=2e-2, atol=2e-2)
+    # chained second pair block == the same block with its own stats read
+    gs2 = rng.rand(cout).astype(np.float32) + 0.5
+    gb2 = rng.randn(cout).astype(np.float32) * 0.1
+    k2 = rng.randn(3, 3, cout, cout).astype(np.float32) / np.sqrt(9 * cout)
+    b2 = rng.randn(cout).astype(np.float32) * 0.1
+    chained = gn_swish_conv3x3(of, gs2, gb2, k2, b2, stats_in=stats,
+                               num_groups=8, interpret=True)
+    fresh = gn_swish_conv3x3(of, gs2, gb2, k2, b2, num_groups=8,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(chained, np.float32),
+                               np.asarray(fresh, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fused_pair_cout128():
+    """Pair geometry with a channel change (the 256^2 64->128 block1)."""
+    rng = np.random.RandomState(12)
+    b, h, w, c, cout = 2, 8, 8, 64, 128
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    want = _unfused(x, gn_scale, gn_bias, kernel, bias)
+    got = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias,
+                           num_groups=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.05, rtol=0.05)

@@ -208,3 +208,37 @@ def test_unet_spatial_sharded_matches_single(space_mesh):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_kernel_sharded_pair_geometry(space_mesh):
+    """C == 64 sources take the W-pair-packed path (kernels/fused_conv
+    pair geometry); halo rows are pair-reshaped inside the kernel
+    wrapper, so the sharded pair forward must still match the full-image
+    pair forward."""
+    rng = np.random.RandomState(6)
+    b, h, w, c, cout = 1, 16, 8, 64, 64
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    tb = rng.randn(b, cout).astype(np.float32)
+
+    want = gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias,
+                            time_bias=tb, num_groups=8, interpret=True)
+
+    def sharded(x, gn_scale, gn_bias, kernel, bias, tb):
+        halo = exchange_halo(x, "space")
+        return gn_swish_conv3x3(
+            x, gn_scale, gn_bias, kernel, bias, time_bias=tb,
+            num_groups=8, interpret=True, axis_name="space", halo=halo,
+        )
+
+    fn = _shmap(
+        space_mesh, sharded,
+        (P(None, "space"), P(), P(), P(), P(), P()), P(None, "space"),
+    )
+    got = fn(x, gn_scale, gn_bias, kernel, bias, tb)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-4, atol=1e-4)
