@@ -6,14 +6,19 @@ either the folder layout the LRHR 'img' mode consumes:
 or, with --lmdb, an LMDB database with the reference's key scheme
 (prepare_data.py:83-92) via the dependency-free io/lmdb_lite writer.
 
-Pure-CPU tool; parallelized with a thread pool instead of the reference's
-multiprocessing workers (prepare_data.py:50-134).
+Pure-CPU tool. ``--mode process`` (default) mirrors the reference's
+multiprocessing workers with a shared progress counter
+(prepare_data.py:50-134); ``--mode thread`` uses a thread pool (PNG
+encode releases the GIL, so both saturate I/O-bound runs).
 """
 
 from __future__ import annotations
 
 import argparse
+import multiprocessing as mp
 import os
+import sys
+import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
@@ -50,7 +55,17 @@ def _source_files(path):
     )
 
 
-def prepare(path, out, size="16,128", n_worker=8):
+def _mp_worker(items, out_dir, sizes, counter):
+    """Process-pool worker (reference prepare_data.py:50-68): convert an
+    item slice, bumping the shared progress counter per item."""
+    for item in items:
+        process_one(item, out_dir=out_dir, sizes=sizes)
+        with counter.get_lock():
+            counter.value += 1
+
+
+def prepare(path, out, size="16,128", n_worker=8, mode="process",
+            progress=False):
     sizes = tuple(int(s) for s in size.split(","))
     low, high = sizes
     out_dir = f"{out}_{low}_{high}"
@@ -58,8 +73,36 @@ def prepare(path, out, size="16,128", n_worker=8):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
     files = _source_files(path)
     worker = partial(process_one, out_dir=out_dir, sizes=sizes)
-    with ThreadPoolExecutor(max_workers=n_worker) as ex:
-        list(ex.map(worker, enumerate(files)))
+    if mode == "thread" or n_worker <= 1 or not files:
+        with ThreadPoolExecutor(max_workers=max(n_worker, 1)) as ex:
+            list(ex.map(worker, enumerate(files)))
+        return out_dir, len(files)
+
+    # reference concurrency story: one OS process per worker over a
+    # static file split, with a shared counter driving the progress
+    # readout (prepare_data.py:95-134)
+    n_worker = min(n_worker, len(files))
+    counter = mp.Value("i", 0)
+    items = list(enumerate(files))
+    slices = [items[w::n_worker] for w in range(n_worker)]
+    procs = [
+        mp.Process(target=_mp_worker, args=(sl, out_dir, sizes, counter))
+        for sl in slices
+    ]
+    for p in procs:
+        p.start()
+    while any(p.is_alive() for p in procs):
+        if progress:
+            print(f"\r{counter.value}/{len(files)}", end="",
+                  file=sys.stderr, flush=True)
+        time.sleep(0.1)
+    for p in procs:
+        p.join()
+        if p.exitcode:
+            raise RuntimeError(f"prepare_data worker exited {p.exitcode}")
+    if progress:
+        print(f"\r{counter.value}/{len(files)}", file=sys.stderr)
+    assert counter.value == len(files)
     return out_dir, len(files)
 
 
@@ -100,12 +143,17 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--size", default="16,128")
     p.add_argument("--n_worker", type=int, default=8)
+    p.add_argument("--mode", choices=["process", "thread"],
+                   default="process",
+                   help="process = reference-style multiprocessing "
+                        "workers with a shared progress counter")
     p.add_argument("-l", "--lmdb", action="store_true")
     args = p.parse_args(argv)
     if args.lmdb:
         out_dir, n = prepare_lmdb(args.path, args.out, args.size)
     else:
-        out_dir, n = prepare(args.path, args.out, args.size, args.n_worker)
+        out_dir, n = prepare(args.path, args.out, args.size, args.n_worker,
+                             mode=args.mode, progress=True)
     print(f"wrote {n} triplets to {out_dir}")
 
 

@@ -139,3 +139,31 @@ def test_reader_parses_canonical_mdb_fixture():
         assert [k.decode() for k, _ in items] == sorted(manifest)
         assert all(zlib.crc32(v) == manifest[k.decode()]["crc32"]
                    for k, v in items)
+
+
+def test_prepare_data_process_pool(tmp_path):
+    """--mode process: reference-style multiprocessing workers with a
+    shared counter (prepare_data.py:50-134) produce the same folder
+    layout as the thread pool."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from hsi_dmgasr_tpu.data.prepare_data import prepare
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(5):
+        Image.fromarray(
+            rng.randint(0, 255, (40, 40, 3), np.uint8)
+        ).save(str(src / f"{i}.png"))
+
+    out_dir, n = prepare(str(src), str(tmp_path / "mp"), size="16,32",
+                         n_worker=3, mode="process")
+    assert n == 5
+    import os
+
+    for sub in ("hr_32", "lr_16", "sr_16_32"):
+        assert sorted(os.listdir(os.path.join(out_dir, sub))) == [
+            f"{i:05d}.png" for i in range(5)
+        ]
