@@ -47,6 +47,7 @@ same precision story as the unfused bf16 path (tests/test_fused_conv.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,10 +58,10 @@ from jax.experimental.pallas import tpu as pltpu
 # default for gn_swish_conv3x3(dx_pack=None): pack the three dx kernels
 # along N into one matmul (vs three shared-LHS matmuls). Measured
 # per-shape on v5e via tools/bench_kernels.py.
-DX_PACK_DEFAULT = True
+DX_PACK_DEFAULT = os.environ.get("FUSED_DX_PACK", "1") == "1"
 # W-pair packing for C == 64 sources (see the pair block in
-# _gn_swish_conv3x3): module default so benches can A/B it
-PAIR_DEFAULT = True
+# _gn_swish_conv3x3): module default, env-overridable for A/B benches
+PAIR_DEFAULT = os.environ.get("FUSED_PAIR", "1") == "1"
 
 
 def _pad128(c):
@@ -375,9 +376,13 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     hw = H * W
 
     if Cout % 8 != 0:
-        # sublane-align the output channels (the final_conv's Cout=3
-        # otherwise forces misaligned-lane stores); slice after
-        pad = 8 - Cout % 8
+        # align the output channels (the final_conv's Cout=3 otherwise
+        # forces misaligned-lane stores); slice after. Padding small
+        # Cout all the way to 64 keeps the dx_pack/pair fast paths
+        # engaged: 3 output channels would otherwise run three f32
+        # accumulators padded to 128 lanes each (~16x VPU waste in the
+        # roll epilogue) where one packed N=192 accumulator serves.
+        pad = (64 - Cout) if (dx_pack and Cout < 64) else 8 - Cout % 8
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad)))
         bias = jnp.pad(bias, (0, pad))
         if time_bias is not None:
