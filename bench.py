@@ -159,10 +159,13 @@ def main():
                          "riding them through the fused kernel")
     ap.add_argument("--no-fuse-stats", action="store_true",
                     help="disable GroupNorm stats chaining")
-    ap.add_argument("--profile", action="store_true",
+    ap.add_argument("--profile", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="add MFU/roofline telemetry to the JSON line "
                          "(analytic model: utils/roofline.py — XLA "
-                         "cost_analysis cannot see inside pallas calls)")
+                         "cost_analysis cannot see inside pallas calls); "
+                         "on by default so every recorded bench carries "
+                         "%%-of-attainable next to the seconds")
     ap.add_argument("--chunk", type=int, default=0,
                     help="latent images per sampler chunk (0 = whole "
                          "B*G batch in one scan); bounds sampler "
@@ -224,7 +227,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / per_cube, 3),
     }
-    if args.profile:
+    if args.profile and not args.cpu:
         # analytic roofline (utils/roofline.py): XLA cost_analysis is
         # blind inside pallas custom calls, so FLOPs/bytes come from the
         # op-walk model of the fused UNet. Sampler ~= 97% of the cube
