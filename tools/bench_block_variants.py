@@ -144,5 +144,79 @@ def main():
         - base[(256, 128)])
 
 
+def pair_sweep():
+    """Round-3 sweep: with W-pair packing live at the C=64 levels, the
+    auto row pick drops to 4-8 slabs -> 576-1152 grid steps per conv and
+    (1 + 2/rows)x redundant halo input reads. Separates, on the chip:
+
+      * rows x dx_pack at the two hot pair shapes (dx_pack triples the
+        f32 epilogue accumulator at pair Cout=128 where N-packing no
+        longer buys MXU tiles — 3 full tiles either way);
+      * FUSED_PAIR=0 reference at the same rows (env, so run twice).
+
+    Run each env variant (pause training first — CLAUDE.md):
+      nohup python tools/bench_block_variants.py --pair > /tmp/bv_pair.log &
+      FUSED_PAIR=0 nohup python tools/bench_block_variants.py --pair ...
+    """
+    print("device:", jax.devices()[0], flush=True)
+    print("FUSED_PAIR:", os.environ.get("FUSED_PAIR", "1"), flush=True)
+    from hsi_dmgasr_tpu.kernels.fused_conv import gn_swish_conv3x3
+
+    key = jax.random.PRNGKey(0)
+
+    def mk(h, c, cout, c2=0):
+        ks = jax.random.split(key, 8)
+        x = jax.random.normal(ks[0], (B, h, h, c), jnp.bfloat16)
+        gn_s = jnp.ones((c + c2,), jnp.float32)
+        gn_b = jnp.zeros((c + c2,), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, c + c2, cout), jnp.float32) * 0.05
+        bias = jnp.zeros((cout,), jnp.float32)
+        tb = jax.random.normal(ks[2], (B, cout), jnp.float32)
+        x2 = (jax.random.normal(ks[3], (B, h, h, c2), jnp.bfloat16)
+              if c2 else None)
+        return x, gn_s, gn_b, k, bias, tb, x2
+
+    base = {}
+    for h, c in [(512, 64)]:
+        xb = jax.random.normal(key, (B, h, h, c), jnp.bfloat16)
+        base[(h, c)] = timed(lambda x: x, (xb,))
+        rec(f"baseline[{h}^2x{c}]", base[(h, c)])
+
+    # bare block 512^2 64->64 (down path; pair C=128, Cout=128)
+    x, gn_s, gn_b, k, bias, tb, _ = mk(512, 64, 64)
+    for rows in [None, 8, 16, 32]:
+        for dxp in [True, False]:
+            try:
+                f = lambda x, k: gn_swish_conv3x3(  # noqa: E731
+                    x, gn_s, gn_b, k, bias, time_bias=tb, num_groups=32,
+                    rows=rows, dx_pack=dxp)
+                t = timed(f, (x, k)) - base[(512, 64)]
+                rec(f"pair_block[512^2x64 rows={rows} dxp={int(dxp)}]", t)
+            except Exception as e:
+                rec(f"pair_block[512^2x64 rows={rows} dxp={int(dxp)}]",
+                    float("nan"), str(e)[:80])
+
+    # up-path block1 with skip + folded res_conv + stats (the flagship's
+    # exact hot call: 64+64 concat -> 64, emit_stats + res projection)
+    x, gn_s, gn_b, k, bias, tb, x2 = mk(512, 64, 64, c2=64)
+    rk = jax.random.normal(key, (1, 1, 128, 64), jnp.float32) * 0.1
+    for rows in [None, 4, 8, 16]:
+        for dxp in [True, False]:
+            try:
+                f = lambda x, k, x2: gn_swish_conv3x3(  # noqa: E731
+                    x, gn_s, gn_b, k, bias, time_bias=tb, x2=x2,
+                    num_groups=32, rows=rows, dx_pack=dxp,
+                    emit_stats=True, res_kernel=rk)[0]
+                t = timed(f, (x, k, x2)) - base[(512, 64)]
+                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} "
+                    f"dxp={int(dxp)}]", t)
+            except Exception as e:
+                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} "
+                    f"dxp={int(dxp)}]", float("nan"), str(e)[:80])
+
+
 if __name__ == "__main__":
-    main()
+    if "--pair" in sys.argv:
+        pair_sweep()
+    else:
+        main()
