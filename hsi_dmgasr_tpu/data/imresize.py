@@ -76,7 +76,17 @@ def _contributions(in_length, out_length, scale, kernel, k_width):
 try:  # native C++ kernel (native/imresize_ext.cpp); numpy fallback below
     from . import _imresize_native
 except ImportError:
+    import warnings
+
     _imresize_native = None
+    # the fallback is bit-identical but ~17x slower, enough to make the
+    # training data loader the bottleneck (BENCHMARKS.md) — warn once so
+    # a missing `bash native/build.sh` can't silently slow a run
+    warnings.warn(
+        "hsi_dmgasr_tpu: native imresize extension not built; using the "
+        "17x-slower numpy fallback. Run `bash native/build.sh`.",
+        stacklevel=1,
+    )
 
 
 def _resize_along_dim(A, dim, weights, indices):
