@@ -219,6 +219,39 @@ def train(opt, seed=0, max_steps=None):
     on_device_degr = bool(train_opt.get("on_device_degradation"))
     transfer_dtype = train_opt.get("transfer_dtype")  # e.g. "float16"
 
+    # datasets.train.device_resident: upload the normalized scene stack
+    # to HBM once and sample crop+augment batches on device — only a
+    # PRNG key crosses the tunnel per step (data/device_cache.py).
+    # Implies on-device degradation (the sampler yields HR crops only).
+    device_resident = bool(train_opt.get("device_resident"))
+    scene_cache = sample_key = None
+    if device_resident:
+        import jax
+
+        from ..data.device_cache import DeviceSceneCache
+
+        base_ds = getattr(train_set, "inner", train_set)
+        scene_cache = DeviceSceneCache.from_dataset(
+            base_ds,
+            gt_size=(train_opt.get("l_resolution") or 32) * scale,
+        )
+        on_device_degr = True
+        sample_key = jax.random.PRNGKey(np.uint32(seed) ^ 0x5CE9E5)
+        logger.info(
+            "device-resident sampling: %d scenes in HBM, gt_size %d",
+            scene_cache.n_scenes, scene_cache.gt_size,
+        )
+
+    def _sampled_batches(start_step, n):
+        """n on-device batches keyed by absolute step index (stable
+        across supervised restarts)."""
+        import jax
+
+        for j in range(n):
+            key = jax.random.fold_in(sample_key, start_step + 1 + j)
+            yield {"HR": scene_cache.sample(
+                key, train_opt["batch_size"])}
+
     def _device_batches(loader):
         """One-batch device prefetch: issue the (async) host->device
         upload of batch i+1 while batch i's step runs — the tunnel
@@ -251,9 +284,14 @@ def train(opt, seed=0, max_steps=None):
     prev_best = _read_best(ckpt_dir)
     best_val = prev_best["value"] if prev_best else -float("inf")
     results = {}
+    steps_per_epoch = max(1, len(train_set) // train_opt["batch_size"])
     while current_step < n_iter:
         current_epoch += 1
-        for batch in _device_batches(train_loader):
+        batches = (
+            _sampled_batches(current_step, steps_per_epoch)
+            if device_resident else _device_batches(train_loader)
+        )
+        for batch in batches:
             current_step += 1
             if current_step > n_iter:
                 break

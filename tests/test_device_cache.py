@@ -1,0 +1,123 @@
+"""Device-resident scene sampling (data/device_cache.py): augment parity
+with the host path, sampler determinism/validity, and the stage-2 driver
+running with ``device_resident`` (no host batch uploads).
+
+Reference data path being replaced: HStrain.py:12-89 (per-item scene
+read + crop + 8-way augment encoded in the index, utils.py:3-27)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from hsi_dmgasr_tpu.data.device_cache import DeviceSceneCache, augment_device
+from hsi_dmgasr_tpu.utils.augment import data_augmentation
+
+GAE_CKPT = os.environ.get(
+    "GAE_PRETRAINED", "/root/reference/GAE_pretrained/GAE_4_Cav.pth"
+)
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_augment_device_matches_host(mode):
+    rng = np.random.RandomState(mode)
+    x = rng.rand(12, 12, 5).astype(np.float32)
+    got = np.asarray(jax.jit(augment_device)(x, mode))
+    want = data_augmentation(x, mode=mode)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sampler_shapes_determinism_and_validity():
+    rng = np.random.RandomState(0)
+    scenes = [rng.rand(24, 24, 6).astype(np.float32) for _ in range(3)]
+    cache = DeviceSceneCache(scenes, gt_size=8)
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(cache.sample(key, 4))
+    b = np.asarray(cache.sample(key, 4))
+    assert a.shape == (4, 8, 8, 6) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)  # same key -> same batch
+    c = np.asarray(cache.sample(jax.random.PRNGKey(8), 4))
+    assert np.abs(a - c).max() > 0  # different key -> different batch
+    # every sampled value exists in some scene (crop+flip/rot only)
+    allvals = np.sort(np.concatenate([s.ravel() for s in scenes]))
+    pos = np.searchsorted(allvals, a.ravel())
+    pos = np.clip(pos, 0, allvals.size - 1)
+    assert np.allclose(allvals[pos], a.ravel())
+
+
+def test_fullsize_crop_is_an_exact_augmented_scene():
+    """gt_size == scene size forces row=col=0, so each sample must equal
+    data_augmentation(scene, m) for exactly one (scene, m) pair."""
+    rng = np.random.RandomState(1)
+    scenes = [rng.rand(10, 10, 4).astype(np.float32) for _ in range(2)]
+    cache = DeviceSceneCache(scenes, gt_size=10)
+    batch = np.asarray(cache.sample(jax.random.PRNGKey(3), 6))
+    for item in batch:
+        matches = [
+            np.array_equal(item, data_augmentation(s, mode=m))
+            for s in scenes
+            for m in range(8)
+        ]
+        assert sum(matches) >= 1
+
+
+def test_rejects_mixed_shapes_and_oversized_crop():
+    a = np.zeros((8, 8, 3), np.float32)
+    b = np.zeros((9, 8, 3), np.float32)
+    with pytest.raises(ValueError, match="uniform"):
+        DeviceSceneCache([a, b], gt_size=4)
+    with pytest.raises(ValueError, match="exceeds"):
+        DeviceSceneCache([a], gt_size=16)
+
+
+@pytest.mark.skipif(not os.path.exists(GAE_CKPT),
+                    reason="reference GAE checkpoint unavailable")
+def test_driver_device_resident_loop(synth_data, tmp_path):
+    from hsi_dmgasr_tpu import config as C
+    from hsi_dmgasr_tpu.train import stage2_driver
+
+    cfg = {
+        "name": "drv_devres",
+        "gpu_ids": [0],
+        "scale": 2,
+        "path": {"log": "logs", "results": "results",
+                 "checkpoint": "checkpoint", "tb_logger": "tb"},
+        "gae": {"checkpoint": GAE_CKPT},
+        "datasets": {
+            "train": {"dataroot": os.path.join(synth_data, "mat_scenes"),
+                      "datatype": "hsi_mat", "l_resolution": 16,
+                      "batch_size": 2, "device_resident": True},
+            "val": {"dataroot": os.path.join(synth_data, "npy_scenes"),
+                    "datatype": "hsi_npy", "r_resolution": 32,
+                    "data_len": 1},
+        },
+        "model": {
+            "which_model_G": "sr3",
+            "finetune_norm": False,
+            "unet": {"in_channel": 6, "out_channel": 3, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1, 2],
+                     "attn_res": [8], "res_blocks": 1, "dropout": 0.0},
+            "beta_schedule": {
+                "train": {"schedule": "cosine", "n_timestep": 3,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "cosine", "n_timestep": 3,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 32, "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": 2, "val_freq": 2, "save_checkpoint_freq": 2,
+                  "print_freq": 1, "optimizer": {"type": "adam", "lr": 1e-4}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    opt = C.parse(str(cfg_path), phase="train",
+                  experiments_root=str(tmp_path / "exp"))
+
+    pipeline, results = stage2_driver.train(opt, seed=0)
+    assert results, "validation should have run at val_freq"
+    assert np.isfinite(results["indices"]["MPSNR"])
+    ckpts = os.listdir(opt["path"]["checkpoint"])
+    assert any(c.startswith("I2_E") for c in ckpts)
