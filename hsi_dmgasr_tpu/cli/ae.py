@@ -44,6 +44,11 @@ def main(argv=None):
                    help="host->device upload dtype (float16 halves the "
                         "~25 MB/s tunnel transfer; float32 keeps full "
                         "precision for local runs)")
+    p.add_argument("--device_resident", action="store_true",
+                   help="hsi_mat only: upload the scene stack to device "
+                        "memory once and sample crop+augment batches on "
+                        "device (data/device_cache.py) — no per-step "
+                        "host transfer at all")
     args = p.parse_args(argv)
 
     from .common import force_platform
@@ -80,9 +85,32 @@ def main(argv=None):
         if prev is not None:
             yield prev
 
+    if args.device_resident:
+        if args.datatype != "hsi_mat":
+            p.error("--device_resident requires --datatype hsi_mat")
+        import jax
+
+        from ..data.device_cache import DeviceSceneCache
+
+        cache = DeviceSceneCache.from_dataset(
+            ds, gt_size=32 * args.scale)
+        base_key = jax.random.PRNGKey(np.uint32(args.seed) ^ 0x5CE9E5)
+        steps_per_epoch = max(1, len(ds) // args.batch_size)
+        logger.info("device-resident: %d scenes in HBM", cache.n_scenes)
+
+        def device_batches(start):
+            for j in range(steps_per_epoch):
+                key = jax.random.fold_in(base_key, start + 1 + j)
+                yield cache.sample(key, args.batch_size)
+    else:
+        _host_batches = device_batches
+
+        def device_batches(start):
+            return _host_batches()
+
     step = 0
     for epoch in range(args.epochs):
-        for hr in device_batches():
+        for hr in device_batches(step):
             loss = trainer.train_step(hr)
             step += 1
             if step % 10 == 0:

@@ -73,6 +73,23 @@ def test_rejects_mixed_shapes_and_oversized_crop():
         DeviceSceneCache([a], gt_size=16)
 
 
+def test_ae_cli_device_resident(synth_data, tmp_path):
+    """Stage-1 CLI with --device_resident: scenes sampled on device,
+    a few steps run, checkpoint written."""
+    from hsi_dmgasr_tpu.cli import ae
+
+    out = tmp_path / "gae_ckpt"
+    ae.main([
+        "--data", os.path.join(synth_data, "mat_scenes"),
+        "--datatype", "hsi_mat", "--device_resident",
+        "--epochs", "1", "--batch_size", "2", "--max_steps", "2",
+        "--n_subs", "8", "--n_ovls", "2", "--n_colors", "31",
+        "--n_feats", "8", "--scale", "2",
+        "--out", str(out), "--platform", "cpu",
+    ])
+    assert os.path.exists(str(out)) or os.path.isdir(str(out))
+
+
 @pytest.mark.skipif(not os.path.exists(GAE_CKPT),
                     reason="reference GAE checkpoint unavailable")
 def test_driver_device_resident_loop(synth_data, tmp_path):
