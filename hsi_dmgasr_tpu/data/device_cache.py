@@ -96,9 +96,14 @@ class DeviceSceneCache:
             )
         self.gt_size = int(gt_size)
         self.n_scenes = len(scenes)
-        self.scenes = jax.device_put(
-            np.stack([np.asarray(s, dtype=np.float32) for s in scenes])
-        )
+        # upload per scene (~15 MB messages) and stack on device: one
+        # monolithic 100+ MB device_put has been observed to drop the
+        # remote-tunnel connection, and per-scene puts retry cheaply
+        parts = [
+            jax.device_put(np.ascontiguousarray(s, dtype=np.float32))
+            for s in scenes
+        ]
+        self.scenes = jax.jit(lambda *xs: jnp.stack(xs))(*parts)
 
     def sample(self, key, batch_size):
         """(batch_size, gt_size, gt_size, C) HR crops, on device."""
