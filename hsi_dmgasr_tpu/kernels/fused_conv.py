@@ -88,8 +88,22 @@ def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
     return rows
 
 
+def _dx_place(part, dx, W):
+    """Shift a per-dx partial (rows, W, Cout) f32 to its output columns
+    (the conv's SAME zero padding at the image sides): the dx=-1 kernel
+    taps input col w-1 so its unshifted partial lands one column LEFT of
+    where it belongs — shift right, zeroing col 0; dx=+1 symmetric."""
+    if dx == 1:
+        return part
+    col = jax.lax.broadcasted_iota(jnp.int32, part.shape, 1)
+    if dx == 0:
+        return jnp.where(col == 0, 0.0, pltpu.roll(part, 1, axis=1))
+    return jnp.where(col == part.shape[1] - 1, 0.0,
+                     pltpu.roll(part, part.shape[1] - 1, axis=1))
+
+
 def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
-                    nb, rows, W, accs, dx_pack, rk_ref=None, racc=None,
+                    nb, rows, W, accs, dx_pack, inc, rk_ref=None, racc=None,
                     hp_ref=None, hn_ref=None):
     """norm+swish a source ONCE, build ONE unshifted im2col (dy taps
     stacked along K), and accumulate the three per-dx partial outputs.
@@ -140,6 +154,21 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
         # padded im2col matmul on paper but skip the misaligned
         # 3x64-lane concat that dominates the im2col branch (measured
         # 5.4 -> 3.1 ms on the 512^2x64 block, tools/bench_block_variants.py)
+        if inc:
+            # incremental epilogue: one dx partial live at a time, placed
+            # (masked roll) straight into the single (rows, W, Cout)
+            # accumulator — 1 live f32 buffer instead of 3, trading two
+            # extra VPU rolls per source for the VMEM that bounds the
+            # row-slab size (bigger slabs = fewer grid steps and fewer
+            # redundant halo-row reads)
+            for dx in range(3):
+                part = jnp.zeros_like(accs[0]).reshape(rows * W, -1)
+                for dy in range(3):
+                    sl = t[dy:rows + dy].reshape(rows * W, C)
+                    part += jnp.dot(sl, kmat_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+                accs[0] += _dx_place(part.reshape(accs[0].shape), dx, W)
+            return accs, racc
         for dy in range(3):
             sl = t[dy:rows + dy].reshape(rows * W, C)
             if dx_pack:
@@ -160,6 +189,11 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
         # Cout < 128 (the N tile)
         accs[0] += jnp.dot(cols, kmat_ref[...],
                            preferred_element_type=jnp.float32)
+    elif inc:
+        for dx in range(3):
+            part = jnp.dot(cols, kmat_ref[dx],
+                           preferred_element_type=jnp.float32)
+            accs[0] += _dx_place(part.reshape(accs[0].shape), dx, W)
     else:
         for dx in range(3):
             accs[dx] += jnp.dot(cols, kmat_ref[dx],
@@ -168,7 +202,7 @@ def _source_matmuls(cur, prev, nxt, scale_ref, shift_ref, kmat_ref, b, i,
 
 
 def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
-            emit_stats, dx_pack, emit_res, has_halo=False):
+            emit_stats, dx_pack, emit_res, has_halo=False, inc=False):
     it = iter(refs)
     xc_ref, xp_ref, xn_ref = next(it), next(it), next(it)
     hp_ref = hn_ref = hp2_ref = hn2_ref = None
@@ -196,43 +230,51 @@ def _kernel(refs, *, rows, H, W, C, C2, Cout, has_tb, has_res, has_x2,
     i = pl.program_id(1)
     nb = pl.num_programs(1)
 
-    n_acc = 1 if dx_pack else 3
-    accs = [jnp.zeros((rows * W, (3 if dx_pack else 1) * Cout), jnp.float32)
-            for _ in range(n_acc)]
+    if inc:
+        accs = [jnp.zeros((rows, W, Cout), jnp.float32)]
+    else:
+        n_acc = 1 if dx_pack else 3
+        accs = [jnp.zeros((rows * W, (3 if dx_pack else 1) * Cout),
+                          jnp.float32) for _ in range(n_acc)]
     racc = (jnp.zeros((rows * W, Cout), jnp.float32) if emit_res else None)
     accs, racc = _source_matmuls(xc_ref[...], xp_ref[...], xn_ref[...],
                                  scale_ref, shift_ref, kmat_ref,
-                                 b, i, nb, rows, W, accs, dx_pack,
+                                 b, i, nb, rows, W, accs, dx_pack, inc,
                                  rk_ref=rk_ref, racc=racc,
                                  hp_ref=hp_ref, hn_ref=hn_ref)
     if has_x2:
         accs, racc = _source_matmuls(x2c_ref[...], x2p_ref[...], x2n_ref[...],
                                      scale2_ref, shift2_ref, kmat2_ref,
-                                     b, i, nb, rows, W, accs, dx_pack,
+                                     b, i, nb, rows, W, accs, dx_pack, inc,
                                      rk_ref=rk2_ref, racc=racc,
                                      hp_ref=hp2_ref, hn_ref=hn2_ref)
     if emit_res:
         racc += rb_ref[0][None, :]
         ores_ref[...] = racc.reshape(rows, W, Cout).astype(ores_ref.dtype)
 
-    if dx_pack:
-        packed = accs[0]
-        oL = packed[:, :Cout]
-        oM = packed[:, Cout:2 * Cout]
-        oR = packed[:, 2 * Cout:]
+    if inc:
+        # dx partials were placed into the accumulator as they finished
+        acc = accs[0].reshape(rows * W, Cout)
     else:
-        oL, oM, oR = accs
-    oL = oL.reshape(rows, W, Cout)
-    oM = oM.reshape(rows, W, Cout)
-    oR = oR.reshape(rows, W, Cout)
-    # tap dx=-1 weights input col w-1 -> its unshifted partial lands one
-    # column LEFT of where it belongs: shift right, zeroing col 0 (SAME
-    # padding); dx=+1 symmetric
-    col = jax.lax.broadcasted_iota(jnp.int32, oM.shape, 1)
-    acc = (oM
-           + jnp.where(col == 0, 0.0, pltpu.roll(oL, 1, axis=1))
-           + jnp.where(col == W - 1, 0.0, pltpu.roll(oR, W - 1, axis=1)))
-    acc = acc.reshape(rows * W, Cout)
+        if dx_pack:
+            packed = accs[0]
+            oL = packed[:, :Cout]
+            oM = packed[:, Cout:2 * Cout]
+            oR = packed[:, 2 * Cout:]
+        else:
+            oL, oM, oR = accs
+        oL = oL.reshape(rows, W, Cout)
+        oM = oM.reshape(rows, W, Cout)
+        oR = oR.reshape(rows, W, Cout)
+        # tap dx=-1 weights input col w-1 -> its unshifted partial lands
+        # one column LEFT of where it belongs: shift right, zeroing col 0
+        # (SAME padding); dx=+1 symmetric
+        col = jax.lax.broadcasted_iota(jnp.int32, oM.shape, 1)
+        acc = (oM
+               + jnp.where(col == 0, 0.0, pltpu.roll(oL, 1, axis=1))
+               + jnp.where(col == W - 1, 0.0,
+                           pltpu.roll(oR, W - 1, axis=1)))
+        acc = acc.reshape(rows * W, Cout)
 
     acc += bias_ref[0][None, :]
     if has_tb:
@@ -307,7 +349,7 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                      eps=1e-5, interpret=False, rows=None,
                      emit_stats=False, dx_pack=None, res_kernel=None,
                      res_bias=None, stats_in2=None, axis_name=None,
-                     halo=None, halo2=None):
+                     halo=None, halo2=None, inc_epilogue=False):
     # resolve the module default OUTSIDE the jit cache key so flipping
     # DX_PACK_DEFAULT between calls retraces correctly
     if dx_pack is None:
@@ -321,13 +363,14 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         num_groups=num_groups, eps=eps,
         interpret=interpret, rows=rows, emit_stats=emit_stats,
         dx_pack=bool(dx_pack), axis_name=axis_name,
+        inc=bool(inc_epilogue),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "eps", "interpret", "rows",
-                     "emit_stats", "dx_pack", "axis_name"),
+                     "emit_stats", "dx_pack", "axis_name", "inc"),
 )
 def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                       residual=None, x2=None, stats_in=None,
@@ -336,7 +379,8 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                       halo_prev2=None, halo_next2=None,
                       num_groups=32,
                       eps=1e-5, interpret=False, rows=None,
-                      emit_stats=False, dx_pack=True, axis_name=None):
+                      emit_stats=False, dx_pack=True, axis_name=None,
+                      inc=False):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
 
     x: (B, H, W, C); gn_scale, gn_bias: (C_total,); kernel:
@@ -401,6 +445,7 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
             num_groups=num_groups,
             eps=eps, interpret=interpret, rows=rows,
             emit_stats=emit_stats, dx_pack=dx_pack, axis_name=axis_name,
+            inc=inc,
         )
         parts = list(out) if isinstance(out, (list, tuple)) else [out]
         parts[0] = parts[0][..., :Cout]
@@ -428,6 +473,9 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     # (pair geometry packs 3 full tiles; Cout=3 final_conv, Cout>=128
     # up blocks: plain matmuls)
     dx_pack = bool(dx_pack) and (pair or (Cout < 128 and Cout % 64 == 0))
+    if inc:
+        # the incremental epilogue consumes per-dx kernel layouts
+        dx_pack = False
 
     # ---- group stats -> per-(b, c) scale/shift over [x, x2]
     # (all at LOGICAL channels, before any pair relabel)
@@ -654,7 +702,7 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         _kernel(refs, rows=rows, H=H, W=W, C=C, C2=C2, Cout=Cout,
                 has_tb=has_tb, has_res=has_res, has_x2=x2 is not None,
                 emit_stats=emit_stats, dx_pack=dx_pack, emit_res=emit_res,
-                has_halo=has_halo)
+                has_halo=has_halo, inc=inc)
 
     multi = emit_stats or emit_res
     result = pl.pallas_call(

@@ -319,3 +319,46 @@ def test_fused_pair_cout128():
                            num_groups=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("c,c2,cout", [
+    (64, 0, 64),    # pair dy-split
+    (64, 64, 64),   # pair + skip (the flagship 512^2 up-resblock)
+    (32, 0, 16),    # im2col branch
+    (128, 0, 128),  # dy-split, Cout fills the N tile
+    (64, 0, 3),     # final conv (Cout padded to 64)
+])
+def test_inc_epilogue_matches_default(c, c2, cout):
+    """inc_epilogue (per-dx partials placed straight into one f32
+    accumulator — the low-VMEM variant that allows bigger row slabs)
+    is bitwise-equal on outputs to the default epilogue."""
+    rng = np.random.RandomState(13)
+    b, h, w = 2, 8, 16
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    x2 = rng.randn(b, h, w, c2).astype(np.float32) if c2 else None
+    ct = c + c2
+    gn_scale = rng.rand(ct).astype(np.float32) + 0.5
+    gn_bias = rng.randn(ct).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, ct, cout).astype(np.float32) / np.sqrt(9 * ct)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+    tb = rng.randn(b, cout).astype(np.float32)
+    rk = rng.randn(1, 1, ct, cout).astype(np.float32) * 0.2
+
+    outs = {}
+    for inc in (False, True):
+        o = gn_swish_conv3x3(
+            x, gn_scale, gn_bias, kernel, bias, time_bias=tb, x2=x2,
+            num_groups=8, interpret=True, emit_stats=True, res_kernel=rk,
+            inc_epilogue=inc,
+        )
+        outs[inc] = [np.asarray(v, np.float32) for v in o]
+    # the two (distinct) kernels accumulate in different f32 orders —
+    # with a second source the reassociation can flip the bf16 rounding
+    # of outputs by one ulp (~0.8% relative); single-source cases come
+    # out bitwise-equal in practice
+    np.testing.assert_allclose(outs[False][0], outs[True][0],
+                               rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(outs[False][2], outs[True][2],
+                               rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=1e-4, atol=1e-4)

@@ -182,18 +182,24 @@ def pair_sweep():
         base[(h, c)] = timed(lambda x: x, (xb,))
         rec(f"baseline[{h}^2x{c}]", base[(h, c)])
 
+    # variant axis: (dx_pack, inc_epilogue) — 'inc' places per-dx
+    # partials into ONE f32 accumulator (lowest VMEM -> biggest rows)
+    VAR = [("pack", dict(dx_pack=True)),
+           ("nopack", dict(dx_pack=False)),
+           ("inc", dict(inc_epilogue=True))]
+
     # bare block 512^2 64->64 (down path; pair C=128, Cout=128)
     x, gn_s, gn_b, k, bias, tb, _ = mk(512, 64, 64)
     for rows in [None, 8, 16, 32]:
-        for dxp in [True, False]:
+        for name, kw in VAR:
             try:
                 f = lambda x, k: gn_swish_conv3x3(  # noqa: E731
                     x, gn_s, gn_b, k, bias, time_bias=tb, num_groups=32,
-                    rows=rows, dx_pack=dxp)
+                    rows=rows, **kw)
                 t = timed(f, (x, k)) - base[(512, 64)]
-                rec(f"pair_block[512^2x64 rows={rows} dxp={int(dxp)}]", t)
+                rec(f"pair_block[512^2x64 rows={rows} {name}]", t)
             except Exception as e:
-                rec(f"pair_block[512^2x64 rows={rows} dxp={int(dxp)}]",
+                rec(f"pair_block[512^2x64 rows={rows} {name}]",
                     float("nan"), str(e)[:80])
 
     # up-path block1 with skip + folded res_conv + stats (the flagship's
@@ -201,18 +207,35 @@ def pair_sweep():
     x, gn_s, gn_b, k, bias, tb, x2 = mk(512, 64, 64, c2=64)
     rk = jax.random.normal(key, (1, 1, 128, 64), jnp.float32) * 0.1
     for rows in [None, 4, 8, 16]:
-        for dxp in [True, False]:
+        for name, kw in VAR:
             try:
                 f = lambda x, k, x2: gn_swish_conv3x3(  # noqa: E731
                     x, gn_s, gn_b, k, bias, time_bias=tb, x2=x2,
-                    num_groups=32, rows=rows, dx_pack=dxp,
-                    emit_stats=True, res_kernel=rk)[0]
+                    num_groups=32, rows=rows,
+                    emit_stats=True, res_kernel=rk, **kw)[0]
                 t = timed(f, (x, k, x2)) - base[(512, 64)]
-                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} "
-                    f"dxp={int(dxp)}]", t)
+                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} {name}]", t)
             except Exception as e:
-                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} "
-                    f"dxp={int(dxp)}]", float("nan"), str(e)[:80])
+                rec(f"pair_rbup1[512^2 64+64->64 rows={rows} {name}]",
+                    float("nan"), str(e)[:80])
+
+    # the 256^2 levels at their real shapes (Cout >= 128: dx_pack is
+    # auto-off there, so 'inc' vs 'nopack' is the live comparison)
+    x, gn_s, gn_b, k, bias, tb, x2 = mk(256, 128, 128, c2=128)
+    rk = jax.random.normal(key, (1, 1, 256, 128), jnp.float32) * 0.1
+    for rows in [None, 8, 16, 32]:
+        for name, kw in VAR[1:]:
+            try:
+                f = lambda x, k, x2: gn_swish_conv3x3(  # noqa: E731
+                    x, gn_s, gn_b, k, bias, time_bias=tb, x2=x2,
+                    num_groups=32, rows=rows,
+                    emit_stats=True, res_kernel=rk, **kw)[0]
+                t = timed(f, (x, k, x2)) - base.setdefault(
+                    (256, 128), timed(lambda a: a, (x,)))
+                rec(f"rbup1[256^2 128+128->128 rows={rows} {name}]", t)
+            except Exception as e:
+                rec(f"rbup1[256^2 128+128->128 rows={rows} {name}]",
+                    float("nan"), str(e)[:80])
 
 
 if __name__ == "__main__":
