@@ -110,32 +110,68 @@ class GaussianDiffusion:
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         return mean + noise * jnp.exp(0.5 * plv[t])
 
+    def init_from_cond(self, cond, key, t_start):
+        """Truncated-chain start state: x_{t0} = γ_{t0}·cond + √(1-γ²)·ε.
+
+        Initializes the reverse chain at timestep ``t_start`` from the
+        conditioning instead of pure noise (CCDF-style truncation,
+        Chung et al. 2022). Motivation (BENCHMARKS.md round 3): the
+        first reverse steps of a T=20 cosine chain sit at γ ~ 2.5e-3
+        where x̂0 = x/γ - ... amplifies the ε-prediction error ~400x —
+        the full chain DESTROYS a near-perfect conditioning (measured
+        16.5 vs 25.4+ MPSNR_cc on the round-3 run). Beyond-reference
+        feature; the reference always starts from pure noise
+        (sr3_modules/diffusion.py:177-201).
+        """
+        g = jnp.float32(self.schedule.sqrt_alphas_cumprod_prev[t_start])
+        eps = jax.random.normal(key, cond.shape, jnp.float32)
+        return g * cond + jnp.sqrt(1.0 - g * g) * eps
+
     def sample_loop(self, denoise_fn, key, shape=None, cond=None,
-                    return_intermediates=False, x_init=None, noise_seq=None):
+                    return_intermediates=False, x_init=None, noise_seq=None,
+                    t_start=None):
         """Full reverse chain as one lax.scan (vs diffusion.py:177-201).
 
         conditional: cond is the bicubic-upsampled LR latent, shape sets
         itself from cond. unconditional: pass shape. ``x_init`` and
         ``noise_seq`` (T, *shape — ordered t=T-1..0) replace the drawn
-        Gaussians for deterministic replay (torch chain parity).
+        Gaussians for deterministic replay (torch parity).
+
+        ``t_start``: run only the last t_start reverse steps, starting
+        from ``init_from_cond`` (or ``x_init`` when given). Requires
+        cond (or an explicit x_init). t_start == T runs the full step
+        count with the cond-seeded start state.
         """
         sched = self.schedule
         T = sched.num_timesteps
         if cond is not None:
             shape = cond.shape
+        t0 = T
+        if t_start is not None:
+            t0 = int(t_start)
+            if not 0 < t0 <= T:
+                raise ValueError(f"t_start {t_start} outside (0, {T}]")
+            if cond is None and x_init is None:
+                raise ValueError("t_start needs cond (or x_init)")
         k_init, k_steps = jax.random.split(key)
-        x0 = (jnp.asarray(x_init, jnp.float32) if x_init is not None
-              else jax.random.normal(k_init, shape, jnp.float32))
-        step_keys = jax.random.split(k_steps, T)
-        ts = jnp.arange(T - 1, -1, -1)
+        if x_init is not None:
+            x0 = jnp.asarray(x_init, jnp.float32)
+        elif t_start is not None:
+            x0 = self.init_from_cond(cond, k_init, t0)
+        else:
+            x0 = jax.random.normal(k_init, shape, jnp.float32)
+        step_keys = jax.random.split(k_steps, t0)
+        ts = jnp.arange(t0 - 1, -1, -1)
 
         if noise_seq is not None:
+            nz = jnp.asarray(noise_seq, jnp.float32)[-t0:]
+
             def body(x, inp):
                 t, k, nz = inp
                 x = self._step(denoise_fn, x, t, k, cond, noise=nz)
                 return x, (x if return_intermediates else None)
 
-            xs = (ts, step_keys, jnp.asarray(noise_seq, jnp.float32))
+            xs = (ts, step_keys, nz)
         else:
             def body(x, inp):
                 t, k = inp

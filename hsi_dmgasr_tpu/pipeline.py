@@ -199,7 +199,9 @@ class DMGASRPipeline:
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
-        ck = ("spatial", shape, replay, fused,
+        diff_opt = (self.opt.get("model") or {}).get("diffusion") or {}
+        t_start = diff_opt.get("t_start")
+        ck = ("spatial", shape, replay, fused, t_start,
               tuple(sorted(mesh.shape.items())))
         if not hasattr(self, "_spatial_cache"):
             self._spatial_cache = {}
@@ -224,7 +226,7 @@ class DMGASRPipeline:
                 x_init = noise_seq = None
             return diffusion.sample_loop(
                 denoise_fn, key, cond=cond, x_init=x_init,
-                noise_seq=noise_seq,
+                noise_seq=noise_seq, t_start=t_start,
             )
 
         sh = P("data", "space")

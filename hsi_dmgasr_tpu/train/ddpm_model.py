@@ -222,6 +222,14 @@ class DDPMModel:
         diff_opt = self.opt["model"]["diffusion"] or {}
         sampler = diff_opt.get("sampler") or "ancestral"
         ddim_steps = diff_opt.get("ddim_steps")
+        # model.diffusion.t_start: truncated chain initialized from the
+        # conditioning (gaussian.init_from_cond) — conditional ancestral
+        # sampling only
+        t_start = diff_opt.get("t_start")
+        if t_start is not None and (unconditional or sampler == "ddim"):
+            raise ValueError(
+                "t_start requires conditional ancestral sampling"
+            )
         # latent_chunk: run the reverse chain over batch chunks of this
         # size (lax.map) so sampler temporaries scale with the chunk,
         # not the full B*G latent batch — large-batch throughput mode
@@ -232,7 +240,8 @@ class DDPMModel:
                 or not (chunk and shape[0] > chunk
                         and shape[0] % chunk == 0)):
             chunk = 0
-        ck = (shape, unconditional, sampler, ddim_steps, continous, chunk)
+        ck = (shape, unconditional, sampler, ddim_steps, continous, chunk,
+              t_start)
         if ck not in self._sample_cache:
             diffusion = self.val_diffusion
 
@@ -249,9 +258,14 @@ class DDPMModel:
                     # draw x_init with the sampler's own key split so the
                     # chain is bit-identical to the non-continous path
                     k_init, _ = jax.random.split(key)
-                    x_init = jax.random.normal(k_init, shape, jnp.float32)
+                    if t_start is not None:
+                        x_init = diffusion.init_from_cond(
+                            cond, k_init, int(t_start))
+                    else:
+                        x_init = jax.random.normal(k_init, shape,
+                                                   jnp.float32)
                     x_fin, inter = diffusion.sample_loop(
-                        denoise_fn, key, x_init=x_init,
+                        denoise_fn, key, x_init=x_init, t_start=t_start,
                         return_intermediates=True, **kw
                     )
                     return x_fin, x_init, inter
@@ -261,7 +275,8 @@ class DDPMModel:
                         return diffusion.ddim_sample_loop(
                             denoise_fn, k, steps=ddim_steps, **kw1
                         )
-                    return diffusion.sample_loop(denoise_fn, k, **kw1)
+                    return diffusion.sample_loop(denoise_fn, k,
+                                                 t_start=t_start, **kw1)
 
                 if chunk:
                     conds = cond.reshape(shape[0] // chunk, chunk,
