@@ -62,25 +62,50 @@ DX_PACK_DEFAULT = os.environ.get("FUSED_DX_PACK", "1") == "1"
 # W-pair packing for C == 64 sources (see the pair block in
 # _gn_swish_conv3x3): module default, env-overridable for A/B benches
 PAIR_DEFAULT = os.environ.get("FUSED_PAIR", "1") == "1"
+# FUSED_INC=0/1 overrides the auto incremental-epilogue policy (A/B)
+INC_ENV = os.environ.get("FUSED_INC")
 
 
 def _pad128(c):
     return ((c + 127) // 128) * 128
 
 
-def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024):
+def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024, inc=False):
     """Largest divisor-of-H row-slab whose (lane-padded) VMEM working
-    set fits the budget."""
-    per_row = (
-        w * _pad128(c) * 2              # activated bf16 slab
-        + w * _pad128(c) * 2            # halo/mask temps
-        + w * _pad128(3 * c) * 2        # im2col (bf16, built once)
-        + 4 * w * _pad128(cout) * 4     # f32 per-dx + res accumulators
-        + 2 * w * _pad128(cout) * 4     # output-shift f32 temps
-        + 2 * w * _pad128(c) * 2        # double-buffered input block
-        + 4 * w * _pad128(cout) * 2     # double-buffered out blocks
-    )
-    limit = min(max(1, vmem_budget // max(per_row, 1)), h, 64)
+    set fits the budget.
+
+    ``inc`` (incremental epilogue): one live f32 accumulator instead of
+    the packed three and no materialized im2col, so the model drops the
+    im2col term and keeps a single accumulator; budget 14 MB against the
+    16 MB scoped-vmem limit, capped at 16 rows. Calibration
+    (tools/bench_block_variants.py --pair, v5e): rows=16 compiles and is
+    fastest at the swept 512^2/256^2 shapes; rows=32 fails to compile;
+    the 64^2 C=1024 up-block needs <=8 rows (16 rows = 17.5 MB scoped
+    OOM, matching this model at 1.125 MB/row).
+    """
+    cap = 64
+    if inc:
+        per_row = (
+            w * _pad128(c) * 2          # activated bf16 slab
+            + w * _pad128(c) * 2        # halo/mask temps
+            + w * _pad128(cout) * 4     # single live f32 accumulator
+            + 2 * w * _pad128(cout) * 4  # output-shift f32 temps
+            + 2 * w * _pad128(c) * 2    # double-buffered input block
+            + 4 * w * _pad128(cout) * 2  # double-buffered out blocks
+        )
+        vmem_budget = 14 * 1024 * 1024
+        cap = 16
+    else:
+        per_row = (
+            w * _pad128(c) * 2              # activated bf16 slab
+            + w * _pad128(c) * 2            # halo/mask temps
+            + w * _pad128(3 * c) * 2        # im2col (bf16, built once)
+            + 4 * w * _pad128(cout) * 4     # f32 per-dx + res accumulators
+            + 2 * w * _pad128(cout) * 4     # output-shift f32 temps
+            + 2 * w * _pad128(c) * 2        # double-buffered input block
+            + 4 * w * _pad128(cout) * 2     # double-buffered out blocks
+        )
+    limit = min(max(1, vmem_budget // max(per_row, 1)), h, cap)
     rows = 1
     for d in range(1, limit + 1):
         if h % d == 0:
@@ -349,11 +374,13 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                      eps=1e-5, interpret=False, rows=None,
                      emit_stats=False, dx_pack=None, res_kernel=None,
                      res_bias=None, stats_in2=None, axis_name=None,
-                     halo=None, halo2=None, inc_epilogue=False):
+                     halo=None, halo2=None, inc_epilogue=None):
     # resolve the module default OUTSIDE the jit cache key so flipping
     # DX_PACK_DEFAULT between calls retraces correctly
     if dx_pack is None:
         dx_pack = DX_PACK_DEFAULT
+    if inc_epilogue is None and INC_ENV is not None:
+        inc_epilogue = INC_ENV == "1"
     halo_prev, halo_next = halo if halo is not None else (None, None)
     halo_prev2, halo_next2 = halo2 if halo2 is not None else (None, None)
     return _gn_swish_conv3x3(
@@ -363,7 +390,7 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
         num_groups=num_groups, eps=eps,
         interpret=interpret, rows=rows, emit_stats=emit_stats,
         dx_pack=bool(dx_pack), axis_name=axis_name,
-        inc=bool(inc_epilogue),
+        inc=inc_epilogue if inc_epilogue is None else bool(inc_epilogue),
     )
 
 
@@ -380,7 +407,7 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
                       num_groups=32,
                       eps=1e-5, interpret=False, rows=None,
                       emit_stats=False, dx_pack=True, axis_name=None,
-                      inc=False):
+                      inc=None):
     """Fused GroupNorm(num_groups) -> swish -> conv3x3(SAME) [+ extras].
 
     x: (B, H, W, C); gn_scale, gn_bias: (C_total,); kernel:
@@ -473,6 +500,13 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     # (pair geometry packs 3 full tiles; Cout=3 final_conv, Cout>=128
     # up blocks: plain matmuls)
     dx_pack = bool(dx_pack) and (pair or (Cout < 128 and Cout % 64 == 0))
+    if inc is None:
+        # auto policy (measured, tools/bench_block_variants.py --pair):
+        # outputs that fill the 128-lane N tile gain nothing from
+        # N-packing, and the incremental epilogue's smaller f32
+        # footprint buys 16-row slabs (256^2 rb_up 3.84 -> 2.75 ms);
+        # under-full outputs (small Cout) keep the dx-packed epilogue
+        inc = (2 * Cout if pair else Cout) >= 128
     if inc:
         # the incremental epilogue consumes per-dx kernel layouts
         dx_pack = False
@@ -598,7 +632,7 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
            else jnp.zeros((B, 1, 1, 1), jnp.bfloat16))
 
     if rows is None:
-        rows = _pick_rows(H, W, C + C2, Cout)
+        rows = _pick_rows(H, W, C + C2, Cout, inc=inc)
     nb = H // rows
     xb = x.astype(jnp.bfloat16)
 
