@@ -120,6 +120,10 @@ def build(args):
         def denoise_fn(x, t):
             return unet.apply(uv, x.astype(dtype), t.astype(dtype))
 
+        # --t_start: truncated cond-initialized chain (the production
+        # quality setting, configs/pavia_x4_r3.json) — t_start UNet
+        # steps instead of the full T
+        ts = args.t_start or None
         n = cond.shape[0]
         if args.chunk and n > args.chunk and n % args.chunk == 0:
             # chunk the (B*G) latent batch through the reverse chain:
@@ -129,11 +133,12 @@ def build(args):
             keys = jax.random.split(key, n // args.chunk)
             z_out = jax.lax.map(
                 lambda kc: diffusion.sample_loop(denoise_fn, kc[0],
-                                                 cond=kc[1]),
+                                                 cond=kc[1], t_start=ts),
                 (keys, conds),
             ).reshape(n, h, w, c)
         else:
-            z_out = diffusion.sample_loop(denoise_fn, key, cond=cond)
+            z_out = diffusion.sample_loop(denoise_fn, key, cond=cond,
+                                          t_start=ts)
         y = gae.apply(
             gv, z_out.reshape(b, g, h, w, c).astype(dtype),
             method=GAE.decode,
@@ -166,6 +171,11 @@ def main():
                          "cost_analysis cannot see inside pallas calls); "
                          "on by default so every recorded bench carries "
                          "%%-of-attainable next to the seconds")
+    ap.add_argument("--t_start", type=int, default=0,
+                    help="truncated cond-initialized chain: run only the "
+                         "last N reverse steps from init_from_cond "
+                         "(model.diffusion.t_start — the production "
+                         "quality setting; 0 = full T chain)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="latent images per sampler chunk (0 = whole "
                          "B*G batch in one scan); bounds sampler "
@@ -204,6 +214,7 @@ def main():
 
     n_groups = group_indices(channels, 16 if not args.small else 8,
                              4 if not args.small else 2).shape[0]
+    eff_steps = args.t_start or args.timesteps  # UNet forwards actually run
     info = {
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 2),
@@ -214,8 +225,9 @@ def main():
         "size": size,
         "channels": channels,
         "batch": args.batch,
+        "t_start": args.t_start or None,
         "denoise_steps_per_sec_per_chip": round(
-            args.timesteps * n_groups * args.batch / secs, 2
+            eff_steps * n_groups * args.batch / secs, 2
         ),
         "cubes_per_min": round(60.0 * args.batch / secs, 2),
     }
@@ -244,7 +256,7 @@ def main():
                            else (1, 2),
                            device_kind=dk)
         n_seq = max(1, n_lat // eff_b)  # sequential chunks per call
-        step_s = secs / args.timesteps
+        step_s = secs / eff_steps
         att = rl["attainable_s"] * n_seq
         out["profile"] = {
             "device_kind": dk,
