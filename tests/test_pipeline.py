@@ -465,3 +465,44 @@ def test_lr_schedule_step_decay():
     d3 = delta()   # step 3, lr 1e-5 after milestone
     assert d1 > 5e-5 and d2 > 5e-5
     assert d3 < 0.5 * d2, (d1, d2, d3)
+
+
+def test_pipeline_t_start_plumbs_through():
+    """model.diffusion.t_start reaches super_resolve: the truncated
+    cond-initialized chain (the production quality setting,
+    configs/pavia_x4_r3.json) equals a manual init_from_cond + truncated
+    sample_loop with the same key, and differs from the full chain."""
+    import copy
+
+    opt = copy.deepcopy(TINY_OPT)
+    opt["model"]["diffusion"]["t_start"] = 2
+    gae = GAE(n_subs=8, n_ovls=2, n_colors=31, n_feats=16)
+    x0 = np.zeros((1, 16, 16, 31), np.float32)
+    gae_vars = gae.init(jax.random.PRNGKey(0), x0)
+    cfg = {"n_subs": 8, "n_ovls": 2, "n_colors": 31, "n_feats": 16, "G": 5}
+    p = DMGASRPipeline(opt, gae_vars, cfg, ddpm=DDPMModel(opt, seed=0))
+
+    rng = np.random.RandomState(7)
+    sr_cube = rng.rand(1, 16, 16, 31).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    out, z = p.super_resolve(sr_cube, key=key, return_latents=True)
+    assert out.shape == (1, 16, 16, 31)
+
+    # manual truncated chain from the same cond/key
+    diffusion = p.ddpm.val_diffusion
+    cond = p._fold(p.encode(sr_cube))
+
+    def denoise_fn(xt, t):
+        return p.ddpm.unet.apply(
+            {"params": p.ddpm.eval_params}, xt, t, train=False)
+
+    z_manual = diffusion.sample_loop(denoise_fn, key, cond=cond, t_start=2)
+    np.testing.assert_allclose(
+        np.asarray(z).reshape(z_manual.shape), np.asarray(z_manual),
+        atol=1e-5)
+
+    # and the full chain (no t_start) from the same key differs
+    p_full = DMGASRPipeline(TINY_OPT, gae_vars, cfg,
+                            ddpm=DDPMModel(TINY_OPT, seed=0))
+    out_full = p_full.super_resolve(sr_cube, key=key)
+    assert np.abs(np.asarray(out) - np.asarray(out_full)).max() > 1e-7
