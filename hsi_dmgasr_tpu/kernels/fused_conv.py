@@ -70,30 +70,32 @@ def _pad128(c):
     return ((c + 127) // 128) * 128
 
 
-def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024, inc=False):
+def _pick_rows(h, w, c, cout, vmem_budget=13 * 1024 * 1024, inc=False,
+               fixed_bytes=0, emit_res=False):
     """Largest divisor-of-H row-slab whose (lane-padded) VMEM working
     set fits the budget.
 
     ``inc`` (incremental epilogue): one live f32 accumulator instead of
-    the packed three and no materialized im2col, so the model drops the
-    im2col term and keeps a single accumulator; budget 14 MB against the
-    16 MB scoped-vmem limit, capped at 16 rows. Calibration
-    (tools/bench_block_variants.py --pair, v5e): rows=16 compiles and is
-    fastest at the swept 512^2/256^2 shapes; rows=32 fails to compile;
-    the 64^2 C=1024 up-block needs <=8 rows (16 rows = 17.5 MB scoped
-    OOM, matching this model at 1.125 MB/row).
+    the packed three and no materialized im2col. ``fixed_bytes`` charges
+    the row-independent VMEM residents (kmat/kmat2/rk are whole-array
+    VMEM blocks — ~10 MB of the 16 MB scoped limit at C_total=1024,
+    Cout=512; a rows pick blind to them OOM'ed the batch-4 chunk
+    compile by 0.9 MB while the batch-1 build of the SAME kernel
+    squeaked under, so the budget keeps ~2 MB of allocator slack).
+    Calibration (tools/bench_block_variants.py --pair, v5e): rows=16 is
+    fastest at the swept 512^2/256^2 shapes; rows=32 fails to compile.
     """
     cap = 64
     if inc:
         per_row = (
-            w * _pad128(c) * 2          # activated bf16 slab
-            + w * _pad128(c) * 2        # halo/mask temps
-            + w * _pad128(cout) * 4     # single live f32 accumulator
-            + 2 * w * _pad128(cout) * 4  # output-shift f32 temps
-            + 2 * w * _pad128(c) * 2    # double-buffered input block
-            + 4 * w * _pad128(cout) * 2  # double-buffered out blocks
+            3 * w * _pad128(c) * 2       # activated slab + dbuf input
+            + 3 * w * _pad128(cout) * 4  # live acc + dx partial + place tmp
+            + 2 * w * _pad128(cout) * 2  # double-buffered out block
         )
-        vmem_budget = 14 * 1024 * 1024
+        if emit_res:
+            per_row += (2 * w * _pad128(cout) * 2   # res-out dbuf
+                        + w * _pad128(cout) * 4)    # res accumulator
+        vmem_budget = 14 * 1024 * 1024 - fixed_bytes
         cap = 16
     else:
         per_row = (
@@ -500,16 +502,16 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     # (pair geometry packs 3 full tiles; Cout=3 final_conv, Cout>=128
     # up blocks: plain matmuls)
     dx_pack = bool(dx_pack) and (pair or (Cout < 128 and Cout % 64 == 0))
-    if inc is None:
+    inc_auto = inc is None
+    if inc_auto:
         # auto policy (measured, tools/bench_block_variants.py --pair):
         # outputs that fill the 128-lane N tile gain nothing from
         # N-packing, and the incremental epilogue's smaller f32
-        # footprint buys 16-row slabs (256^2 rb_up 3.84 -> 2.75 ms);
-        # under-full outputs (small Cout) keep the dx-packed epilogue
+        # footprint buys bigger row slabs (256^2 rb_up 3.84 -> 2.75 ms);
+        # under-full outputs (small Cout) keep the dx-packed epilogue.
+        # Finalized below (after any pair relabel) where the row budget
+        # can confirm inc actually buys a bigger slab.
         inc = (2 * Cout if pair else Cout) >= 128
-    if inc:
-        # the incremental epilogue consumes per-dx kernel layouts
-        dx_pack = False
 
     # ---- group stats -> per-(b, c) scale/shift over [x, x2]
     # (all at LOGICAL channels, before any pair relabel)
@@ -575,6 +577,31 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
             hp2 = halo_act(halo_prev2, sc2, sh2, is_first)
             hn2 = halo_act(halo_next2, sc2, sh2, is_last)
 
+    # ---- finalize inc + rows together (post-pair-relabel geometry).
+    # The incremental epilogue exists to buy bigger row slabs than the
+    # default packed epilogue; under the auto policy demote it when the
+    # weight-charged budget says it cannot (e.g. the 64^2 C_total=1024
+    # Cout=512 up-block, where the resident kmat+rk are ~10 MB and inc
+    # would be squeezed to 2-row slabs vs the default's 4).
+    emit_res = res_kernel is not None
+    if rows is None:
+        w_bytes = 18 * C * Cout + 18 * C2 * Cout  # bf16 kmat(+kmat2)
+        if emit_res:
+            w_bytes += (C + C2) * Cout * 2        # bf16 rk(+rk2)
+        if inc:
+            r_inc = _pick_rows(H, W, C + C2, Cout, inc=True,
+                               fixed_bytes=w_bytes, emit_res=emit_res)
+            r_def = _pick_rows(H, W, C + C2, Cout)
+            if inc_auto and r_inc <= r_def:
+                inc, rows = False, r_def
+            else:
+                rows = r_inc
+        else:
+            rows = _pick_rows(H, W, C + C2, Cout)
+    if inc:
+        # the incremental epilogue consumes per-dx kernel layouts
+        dx_pack = False
+
     # per-source kernel layout, matching the kernel body's matmul form:
     #   pair:                   (3, 2c, 3*2*Coutl) parity-block matrices
     #   C % 64 == 0 (dy-split): (3, C, 3*Cout) packed / (3,3,C,Cout)
@@ -631,8 +658,6 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     res = (residual.astype(jnp.bfloat16) if has_res
            else jnp.zeros((B, 1, 1, 1), jnp.bfloat16))
 
-    if rows is None:
-        rows = _pick_rows(H, W, C + C2, Cout, inc=inc)
     nb = H // rows
     xb = x.astype(jnp.bfloat16)
 
@@ -689,7 +714,6 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     )
     inputs.append(res)
 
-    emit_res = res_kernel is not None
     if emit_res:
         rk = res_kernel.reshape(Cl + C2l, Coutl).astype(jnp.bfloat16)
 
