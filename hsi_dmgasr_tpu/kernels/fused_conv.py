@@ -496,6 +496,10 @@ def _gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     # 2x2 channel-parity blocks (see kprep), and the dx resolution is
     # the SAME packed-N roll epilogue over pair columns. The kernel body
     # is unchanged — only the host-side geometry and matrices differ.
+    # C stays == 64: pairing a C=128 source was measured SLOWER (12.3 ->
+    # 14.0 ms on the rb_up[512^2 128+64->64] block1) — the parity-block
+    # kernel matrices are half zeros, so pair doubles the real MAC work
+    # and only pays where the unpaired tiles were half empty (C=64)
     pair = (PAIR_DEFAULT and C == 64 and C2 in (0, 64) and W % 2 == 0
             and Cout % 64 == 0 and Cout <= 128)
     # N-packing only pays when Cout under-fills the 128-lane N tile
