@@ -362,3 +362,34 @@ def test_inc_epilogue_matches_default(c, c2, cout):
                                rtol=1e-2, atol=1e-6)
     np.testing.assert_allclose(outs[False][1], outs[True][1],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pick_rows_vmem_calibration():
+    """The row picker's VMEM calibration (measured on v5e, see
+    _pick_rows docstring): resident kernel weights come out of the inc
+    budget, and the auto policy demotes inc when it cannot buy a bigger
+    slab than the default epilogue's pick."""
+    from hsi_dmgasr_tpu.kernels.fused_conv import _pick_rows
+
+    # 64^2 C_total=1024 Cout=512 up-block: kmat+rk ~ 10 MB resident;
+    # blind 16-row inc slabs OOM'ed the scoped-vmem compile (17.5 MB vs
+    # the 16 MB limit). The weight-charged pick must stay below the
+    # default epilogue's 4 rows so the auto policy demotes to default.
+    fx = 18 * 1024 * 512 + 1024 * 512 * 2
+    r_inc = _pick_rows(64, 64, 1024, 512, inc=True, fixed_bytes=fx,
+                       emit_res=True)
+    r_def = _pick_rows(64, 64, 1024, 512)
+    assert r_inc <= r_def == 4, (r_inc, r_def)
+
+    # 512^2 pair-relabeled block (W=256, C=128, Cout=128): inc exists to
+    # buy bigger slabs here (measured 1.4x at the Cout>=128 shapes)
+    fx = 18 * 128 * 128
+    r_inc = _pick_rows(512, 256, 128, 128, inc=True, fixed_bytes=fx)
+    r_def = _pick_rows(512, 256, 128, 128)
+    assert r_inc > r_def, (r_inc, r_def)
+    assert r_inc <= 16  # rows=32 fails to compile on v5e
+
+    # divisor-of-H contract
+    for h in (64, 192, 512):
+        r = _pick_rows(h, 256, 128, 128, inc=True, fixed_bytes=fx)
+        assert h % r == 0
