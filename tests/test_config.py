@@ -96,3 +96,32 @@ def test_regroup_predictions():
     assert [cubes[0][0, 0, groups + g] for g in range(groups)] == [3, 4, 5]
     # pad repeats the final plane
     assert cubes[0][0, 0, -1] == cubes[0][0, 0, -2]
+
+
+SHIPPED_CONFIGS = sorted(
+    f for f in os.listdir(os.path.join(os.path.dirname(__file__), "..",
+                                       "configs"))
+    if f.endswith(".json")
+)
+
+
+@pytest.mark.parametrize("cfg", SHIPPED_CONFIGS)
+def test_shipped_configs_parse(cfg, tmp_path):
+    """Every shipped config parses, carries the reference schema spine,
+    and (for the stage-2 recipes) a loadable GAE checkpoint path —
+    insurance against config rot across the per-dataset recipes."""
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", cfg)
+    opt = C.parse(path, experiments_root=str(tmp_path / "exp"))
+    assert opt["name"]
+    assert opt["model"]["beta_schedule"]["train"]["n_timestep"] > 0
+    sched = opt["model"]["beta_schedule"]["train"]["schedule"]
+    assert sched in ("quad", "linear", "warmup10", "warmup50",
+                     "const", "jsd", "cosine")
+    gae = opt["gae"]
+    if gae:  # stage-2 dataset recipes
+        assert gae["checkpoint"] and gae["checkpoint"].endswith(".pth")
+        # latent affine recipes must ship both halves or neither
+        assert (gae["latent_shift"] is None) == (gae["latent_scale"] is None)
+        ts = opt["model"]["diffusion"]["t_start"]
+        if ts is not None:
+            assert 0 < ts <= opt["model"]["beta_schedule"]["val"]["n_timestep"]
