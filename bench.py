@@ -145,7 +145,8 @@ def build(args):
         )
         return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
 
-    return super_resolve, (gae_vars, unet_vars), size, channels, gae_loaded
+    return (super_resolve, (gae_vars, unet_vars), size, channels,
+            gae_loaded, gae.n_subs, gae.n_ovls)
 
 
 def main():
@@ -188,7 +189,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    fn, (gae_vars, unet_vars), size, channels, gae_loaded = build(args)
+    (fn, (gae_vars, unet_vars), size, channels, gae_loaded,
+     n_subs, n_ovls) = build(args)
     run = jax.jit(fn)
     gae_vars = jax.device_put(gae_vars)
     unet_vars = jax.device_put(unet_vars)
@@ -212,8 +214,9 @@ def main():
     # BASELINE.json metric axes: denoise steps/sec/chip + cubes/min
     from hsi_dmgasr_tpu.models.gae import group_indices
 
-    n_groups = group_indices(channels, 16 if not args.small else 8,
-                             4 if not args.small else 2).shape[0]
+    # group geometry comes from the actual GAE (GAE_PRETRAINED env can
+    # swap in GAE_4_Chi / GAE_4_Cav, whose n_subs/n_ovls differ)
+    n_groups = group_indices(channels, n_subs, n_ovls).shape[0]
     eff_steps = args.t_start or args.timesteps  # UNet forwards actually run
     info = {
         "device": str(jax.devices()[0]),
@@ -234,7 +237,7 @@ def main():
     print(json.dumps(info), file=sys.stderr)
     per_cube = secs / args.batch
     out = {
-        "metric": "dmgasr_x4_512x512x102_cube_seconds",
+        "metric": f"dmgasr_x4_{size}x{size}x{channels}_cube_seconds",
         "value": round(per_cube, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / per_cube, 3),
