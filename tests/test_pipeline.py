@@ -506,3 +506,35 @@ def test_pipeline_t_start_plumbs_through():
                             ddpm=DDPMModel(TINY_OPT, seed=0))
     out_full = p_full.super_resolve(sr_cube, key=key)
     assert np.abs(np.asarray(out) - np.asarray(out_full)).max() > 1e-7
+
+
+def test_validate_multi_chain_averaging(tiny_pipeline):
+    """validate() averages >=1 stochastic chains per scene with
+    deterministic per-(scene, chain) keys: results are reproducible
+    across calls, carry a chain-std estimate, and the 2-chain mean
+    differs from a 1-chain run (different noise draws are averaged)."""
+    from hsi_dmgasr_tpu.train.stage2_driver import validate
+
+    rng = np.random.RandomState(3)
+    loader = [
+        {
+            "SR": rng.rand(1, 16, 16, 31).astype(np.float32),
+            "HR": rng.rand(1, 16, 16, 31).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    r2 = validate(tiny_pipeline, loader, TINY_OPT, save_outputs=False,
+                  ratio=4, n_chains=2)
+    assert r2["n_chains"] == 2 and r2["n"] == 2
+    assert np.isfinite(r2["mpsnr_cc_std"]) and r2["mpsnr_cc_std"] >= 0
+    # deterministic: same keys -> identical metrics on a second sweep
+    r2b = validate(tiny_pipeline, loader, TINY_OPT, save_outputs=False,
+                   ratio=4, n_chains=2)
+    assert r2["indices_cc"]["MPSNR"] == pytest.approx(
+        r2b["indices_cc"]["MPSNR"], abs=1e-9)
+    # single chain (chain 0 keys are shared) gives a different mean
+    r1 = validate(tiny_pipeline, loader, TINY_OPT, save_outputs=False,
+                  ratio=4, n_chains=1)
+    assert r1["mpsnr_cc_std"] == 0.0
+    assert r1["indices_cc"]["MPSNR"] != pytest.approx(
+        r2["indices_cc"]["MPSNR"], abs=1e-12)
