@@ -89,7 +89,6 @@ def attach_forwards():
 def main():
     import torch
 
-    _install_stub_classes()
     attach_forwards()
     os.makedirs(OUT, exist_ok=True)
     torch.set_grad_enabled(False)
