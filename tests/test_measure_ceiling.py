@@ -38,12 +38,48 @@ def test_measure_ceiling_cav(tmp_path):
     assert all(np.isfinite(s["MPSNR"]) and s["MPSNR"] > 10
                for s in per_scene)
     assert summary["n_colors"] == 31
-    assert summary["ceiling_mpsnr"] == pytest.approx(
-        np.mean([s["MPSNR"] for s in per_scene])
+    # the cc ceiling (the metric stage-2 checkpoint selection uses) is
+    # reported alongside plain; cc is mean/std matching so it usually
+    # but not provably raises MPSNR — assert it is finite and close
+    assert all(np.isfinite(s["MPSNR_cc"]) for s in per_scene)
+    assert summary["ceiling_mpsnr_cc"] == pytest.approx(
+        np.mean([s["MPSNR_cc"] for s in per_scene])
     )
-    # the affine must map the measured latent mass inside +-0.95:
-    # applying it to p0.05/p99.95 of the latents is exactly its
-    # definition, so just sanity-check the scale is positive/finite
-    assert 0 < summary["latent_scale"] < 100
-    assert np.isfinite(summary["latent_shift"])
+    assert abs(summary["ceiling_mpsnr_cc"] - summary["ceiling_mpsnr"]) < 5.0
+
+    # the property the recipe configs depend on: applying the returned
+    # affine to a re-encode of the same scenes must land p0.05/p99.95
+    # within ~+-0.95 (the diffusion clamps latents at +-1)
+    import jax
+    import jax.numpy as jnp
+
+    from hsi_dmgasr_tpu.io.convert_torch import load_torch_gae
+    from hsi_dmgasr_tpu.models.gae import GAE
+
+    variables, cfg = load_torch_gae(CKPT)
+    gae = GAE(n_subs=cfg["n_subs"], n_ovls=cfg["n_ovls"],
+              n_colors=cfg["n_colors"], n_feats=cfg["n_feats"])
+    zs = []
+    for p in paths:
+        cube = np.load(p)[:32, :32, :31]
+        z = gae.apply(variables, jnp.asarray(cube[None]),
+                      method=GAE.encode)
+        zs.append(np.asarray(z).ravel())
+    z = np.concatenate(zs)
+    mapped = (z - summary["latent_shift"]) * summary["latent_scale"]
+    lo, hi = np.percentile(mapped, [0.05, 99.95])
+    assert -0.96 <= lo and hi <= 0.96, (lo, hi)
+    assert max(abs(lo), abs(hi)) == pytest.approx(0.95, abs=0.02)
     assert 0.0 <= summary["frac_clipped"] <= 1.0
+
+
+def test_measure_ceiling_band_mismatch(tmp_path):
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoints unavailable")
+    import measure_ceiling
+
+    # fewer bands than the checkpoint -> clear error, not an opaque
+    # shape failure inside GAE.apply
+    np.save(tmp_path / "thin.npy", np.random.rand(32, 32, 7).astype(np.float32))
+    with pytest.raises(ValueError, match="7 bands"):
+        measure_ceiling.measure(CKPT, [str(tmp_path / "thin.npy")], crop=32)

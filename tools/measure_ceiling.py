@@ -30,8 +30,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def measure(ckpt, scene_paths, crop=128, platform=None):
     """Returns (per_scene, summary) for encode->decode reconstruction.
 
-    per_scene: list of {path, MPSNR, SAM}; summary: {ceiling_mpsnr,
-    latent_shift, latent_scale, n_colors, frac_clipped}.
+    per_scene: list of {path, MPSNR, MPSNR_cc, SAM}; summary:
+    {ceiling_mpsnr, ceiling_mpsnr_cc, latent_shift, latent_scale,
+    n_colors, frac_clipped}. ceiling_mpsnr_cc applies the same per-band
+    mean/std color correction the stage-2 val loop selects checkpoints
+    on (stage2_driver.py:157), so run-vs-ceiling comparisons are
+    apples-to-apples on either metric. (cc usually raises MPSNR by
+    removing per-band bias but is not guaranteed to — it is moment
+    matching, not a least-squares fit.)
     """
     if platform:
         import jax
@@ -40,7 +46,7 @@ def measure(ckpt, scene_paths, crop=128, platform=None):
     import jax
     import jax.numpy as jnp
 
-    from hsi_dmgasr_tpu.evalhsi import quality_assessment
+    from hsi_dmgasr_tpu.evalhsi import color_correction, quality_assessment
     from hsi_dmgasr_tpu.io.convert_torch import load_torch_gae
     from hsi_dmgasr_tpu.models.gae import GAE
 
@@ -60,20 +66,43 @@ def measure(ckpt, scene_paths, crop=128, platform=None):
             cube = np.asarray(
                 sio.loadmat(p, verify_compressed_data_integrity=False)["block"]
             )
-        cube = cube.astype(np.float32)[:crop, :crop, : cfg["n_colors"]]
+        cube = cube.astype(np.float32)
+        if cube.shape[-1] < cfg["n_colors"]:
+            raise ValueError(
+                f"{p}: scene has {cube.shape[-1]} bands but the "
+                f"checkpoint expects {cfg['n_colors']}"
+            )
+        if cube.shape[-1] > cfg["n_colors"]:
+            print(f"  [warn] {os.path.basename(p)}: truncating "
+                  f"{cube.shape[-1]} bands to the checkpoint's "
+                  f"{cfg['n_colors']}", file=sys.stderr)
+        cube = cube[:crop, :crop, : cfg["n_colors"]]
         z = encode(variables, jnp.asarray(cube[None]))
         y = np.clip(np.asarray(decode(variables, z))[0], 0, 1)
         q = quality_assessment(cube, y, data_range=1.0, ratio=4)
+        y_cc = color_correction(cube, y, num_channels=cfg["n_colors"])
+        q_cc = quality_assessment(cube, y_cc, data_range=1.0, ratio=4)
         latents.append(np.asarray(z).ravel())
         per_scene.append({"path": p, "MPSNR": float(q["MPSNR"]),
+                          "MPSNR_cc": float(q_cc["MPSNR"]),
                           "SAM": float(q["SAM"])})
 
     z = np.concatenate(latents)
     lo, hi = np.percentile(z, [0.05, 99.95])
     shift = float((hi + lo) / 2.0)
-    scale = float(0.95 / max(abs(hi - shift), abs(lo - shift)))
+    half_range = max(abs(hi - shift), abs(lo - shift))
+    if half_range < 1e-12:
+        raise ValueError(
+            "latent percentiles collapsed (p0.05 == p99.95 == "
+            f"{lo:.6g}) — degenerate/constant scene set; refusing to "
+            "fit an affine"
+        )
+    scale = float(0.95 / half_range)
     summary = {
         "ceiling_mpsnr": float(np.mean([s["MPSNR"] for s in per_scene])),
+        "ceiling_mpsnr_cc": float(
+            np.mean([s["MPSNR_cc"] for s in per_scene])
+        ),
         "latent_shift": round(shift, 4),
         "latent_scale": round(scale, 4),
         "n_colors": cfg["n_colors"],
@@ -100,7 +129,8 @@ def main():
                                  platform=args.platform)
     for s in per_scene:
         print(f"  {os.path.basename(s['path'])}: "
-              f"MPSNR {s['MPSNR']:.2f}  SAM {s['SAM']:.3f}")
+              f"MPSNR {s['MPSNR']:.2f}  MPSNR_cc {s['MPSNR_cc']:.2f}  "
+              f"SAM {s['SAM']:.3f}")
     print(json.dumps(summary))
 
 
