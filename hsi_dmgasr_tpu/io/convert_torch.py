@@ -201,6 +201,35 @@ _MODEL_RULES = {
         (re.compile(r"^tail\.0\."), "tail_up/"),
         (re.compile(r"^tail\.1\."), "tail_conv/"),
     ],
+    # GAN-HSI-SR generator (GAE/net.py:75-131)
+    "gan3d_g": [
+        (re.compile(r"^conv_1\.0\."), "conv1/"),
+        (re.compile(r"^attn_(\d)\.conv_1\.0\."), r"attn\1/conv1a/"),
+        (re.compile(r"^attn_(\d)\.conv_1\.2\."), r"attn\1/conv1b/"),
+        (re.compile(r"^attn_(\d)\.conv_2\.0\."), r"attn\1/fc0/"),
+        (re.compile(r"^attn_(\d)\.conv_2\.2\."), r"attn\1/fc1/"),
+        (re.compile(r"^conv_2\.0\."), "conv2/"),
+        (re.compile(r"^conv_3\."), "conv3/"),
+        (re.compile(r"^conv_4\.0\."), "conv4/"),
+        (re.compile(r"^conv_5\."), "conv5/"),
+    ],
+    # GAN-HSI-SR discriminator (GAE/net.py:134-185): Sequential index ->
+    # conv/BN pair names (pads and activations occupy the other slots)
+    "gan3d_d": [
+        (re.compile(r"^conv\.0\."), "c1/"),
+        (re.compile(r"^conv\.3\."), "c2/"),
+        (re.compile(r"^conv\.4\."), "b2/"),
+        (re.compile(r"^conv\.6\."), "c3/"),
+        (re.compile(r"^conv\.7\."), "b3/"),
+        (re.compile(r"^conv\.10\."), "c4/"),
+        (re.compile(r"^conv\.11\."), "b4/"),
+        (re.compile(r"^conv\.13\."), "c5/"),
+        (re.compile(r"^conv\.14\."), "b5/"),
+        (re.compile(r"^conv\.16\."), "c6/"),
+        (re.compile(r"^conv\.17\."), "b6/"),
+        (re.compile(r"^linera\.0\."), "fc0/"),
+        (re.compile(r"^linera\.2\."), "fc1/"),
+    ],
     # CEGATSR (GAE/CEGATSR.py)
     "cegatsr": [
         (re.compile(r"^branch\.head\.head\.head\."), "branch/head/head/"),
