@@ -12,6 +12,12 @@ The BASELINE.json north-star is <30 s on v5e-8 (8 chips); vs_baseline
 uses that 30 s budget, so >1.0 on a single chip means the 8-chip goal is
 comfortably beaten.
 
+The HEADLINE row is the production quality setting (t_start=4 truncated
+cond-initialized sampling, configs/pavia_x4_r3.json — the setting that
+scores MPSNR_cc 27.04); the same JSON line embeds a 'full_chain' subrow
+timing the reference-semantics full T=20 ancestral chain. --t_start 0
+benches the full chain only.
+
 Flags: --small (CPU-friendly miniature), --dtype {bf16,f32}, --repeats N.
 """
 
@@ -149,44 +155,9 @@ def build(args):
             gae_loaded, gae.n_subs, gae.n_ovls)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true")
-    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    ap.add_argument("--timesteps", type=int, default=20)
-    ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=1,
-                    help="cubes per inference call (throughput mode)")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--no-fuse", action="store_true",
-                    help="disable the fused Pallas resblocks")
-    ap.add_argument("--no-fuse-skip", action="store_true",
-                    help="materialize up-path skip concats instead of "
-                         "riding them through the fused kernel")
-    ap.add_argument("--no-fuse-stats", action="store_true",
-                    help="disable GroupNorm stats chaining")
-    ap.add_argument("--profile", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="add MFU/roofline telemetry to the JSON line "
-                         "(analytic model: utils/roofline.py — XLA "
-                         "cost_analysis cannot see inside pallas calls); "
-                         "on by default so every recorded bench carries "
-                         "%%-of-attainable next to the seconds")
-    ap.add_argument("--t_start", type=int, default=0,
-                    help="truncated cond-initialized chain: run only the "
-                         "last N reverse steps from init_from_cond "
-                         "(model.diffusion.t_start — the production "
-                         "quality setting; 0 = full T chain)")
-    ap.add_argument("--chunk", type=int, default=0,
-                    help="latent images per sampler chunk (0 = whole "
-                         "B*G batch in one scan); bounds sampler "
-                         "temporaries so large batches fit HBM")
-    args = ap.parse_args()
-
+def measure(args):
+    """Build + jit + time one configuration; returns (out, info)."""
     import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     (fn, (gae_vars, unet_vars), size, channels, gae_loaded,
@@ -241,6 +212,7 @@ def main():
         "value": round(per_cube, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / per_cube, 3),
+        "t_start": args.t_start or None,
     }
     if args.profile and not args.cpu:
         # analytic roofline (utils/roofline.py): XLA cost_analysis is
@@ -274,6 +246,68 @@ def main():
             "achieved_min_gbps": round(
                 rl["total_gb"] * n_seq / step_s, 1),
             "pct_of_attainable": round(100.0 * att / step_s, 1),
+        }
+    return out, info
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--timesteps", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="cubes per inference call (throughput mode)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable the fused Pallas resblocks")
+    ap.add_argument("--no-fuse-skip", action="store_true",
+                    help="materialize up-path skip concats instead of "
+                         "riding them through the fused kernel")
+    ap.add_argument("--no-fuse-stats", action="store_true",
+                    help="disable GroupNorm stats chaining")
+    ap.add_argument("--profile", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="add MFU/roofline telemetry to the JSON line "
+                         "(analytic model: utils/roofline.py — XLA "
+                         "cost_analysis cannot see inside pallas calls); "
+                         "on by default so every recorded bench carries "
+                         "%%-of-attainable next to the seconds")
+    ap.add_argument("--t_start", type=int, default=4,
+                    help="truncated cond-initialized chain: run only the "
+                         "last N reverse steps from init_from_cond "
+                         "(model.diffusion.t_start=4 is the production "
+                         "quality setting, configs/pavia_x4_r3.json, and "
+                         "the headline; 0 = full T chain only)")
+    ap.add_argument("--full_row", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="when t_start > 0, also time the full-T chain "
+                         "and embed it as the 'full_chain' subrow for "
+                         "reference-semantics comparability")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="latent images per sampler chunk (0 = whole "
+                         "B*G batch in one scan); bounds sampler "
+                         "temporaries so large batches fit HBM")
+    args = ap.parse_args()
+
+    import copy
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    out, info = measure(args)
+    if args.t_start and args.full_row:
+        # secondary row: the reference's own full-T ancestral chain
+        args2 = copy.copy(args)
+        args2.t_start = 0
+        args2.profile = False
+        out2, _ = measure(args2)
+        out["full_chain"] = {
+            "timesteps": args.timesteps,
+            "value": out2["value"],
+            "vs_baseline": out2["vs_baseline"],
         }
     print(json.dumps(out))
 
