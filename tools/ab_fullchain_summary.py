@@ -28,7 +28,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def eval_rebuild(config, experiments_root, t_start, platform, chains=3):
+def eval_rebuild(config, experiments_root, t_start, platform, chains=3,
+                 resume_name=None):
     from hsi_dmgasr_tpu import config as config_mod
     from hsi_dmgasr_tpu.cli.common import force_platform
     from hsi_dmgasr_tpu.data import DataLoader
@@ -40,10 +41,14 @@ def eval_rebuild(config, experiments_root, t_start, platform, chains=3):
     opt = copy.deepcopy(opt)
     if t_start:
         opt["model"]["diffusion"]["t_start"] = t_start
-    best = stage2_driver._read_best(opt["path"]["checkpoint"])
-    if best:
+    if resume_name:
         opt["path"]["resume_state"] = os.path.join(
-            opt["path"]["checkpoint"], best["name"])
+            opt["path"]["checkpoint"], resume_name)
+    else:
+        best = stage2_driver._read_best(opt["path"]["checkpoint"])
+        if best:
+            opt["path"]["resume_state"] = os.path.join(
+                opt["path"]["checkpoint"], best["name"])
     pipeline = stage2_driver.build_pipeline(opt, seed=0)
     scale = opt.get("scale") or 4
     val_opt = opt["datasets"]["val"]
@@ -65,6 +70,10 @@ def main():
     ap.add_argument("--t_start", type=int, default=4)
     ap.add_argument("--chains", type=int, default=3)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--resume_name", default=None,
+                    help="checkpoint dir name (e.g. I900_E57) instead of "
+                         "the best-val snapshot — use the FINAL step for "
+                         "apples-to-apples with the torch side's curve")
     args = ap.parse_args()
 
     with open(args.torch_json) as f:
@@ -72,9 +81,9 @@ def main():
     tcurve = torch_side["curve"]
 
     full = eval_rebuild(args.config, args.experiments_root, None,
-                        args.platform, args.chains)
+                        args.platform, args.chains, args.resume_name)
     trunc = eval_rebuild(args.config, args.experiments_root, args.t_start,
-                         args.platform, args.chains)
+                         args.platform, args.chains, args.resume_name)
 
     def cc(res):
         return float(res["indices_cc"]["MPSNR"])

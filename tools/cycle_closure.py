@@ -110,12 +110,16 @@ def main():
     for name, h, c, cout, c2 in shapes:
         x, gn_s, gn_b, k, bias, tb, x2 = block(name, h, c, cout, c2)
 
+        # x/x2 ride as jit ARGUMENTS — closing over the 300MB skip
+        # tensor bakes it into the HLO and the remote-compile POST
+        # fails with HTTP 413 (see CLAUDE.md)
         def op(xx, *a):
             out = gn_swish_conv3x3(xx, gn_s, gn_b, k, bias, time_bias=tb,
-                                   x2=x2, interpret=interp)
+                                   x2=(a[0] if a else None),
+                                   interpret=interp)
             return out[0] if isinstance(out, tuple) else out
 
-        secs = timed(op, (x,))
+        secs = timed(op, (x, x2) if x2 is not None else (x,))
         # final_conv pads Cout 3 -> 64 internally; account at 64
         cout_exec = 64 if cout < 64 else cout
         real = 2.0 * 9 * B * h * h * (c + c2) * cout
