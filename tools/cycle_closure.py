@@ -119,22 +119,33 @@ def main():
                                    interpret=interp)
             return out[0] if isinstance(out, tuple) else out
 
-        secs = timed(op, (x, x2) if x2 is not None else (x,))
+        raw = timed(op, (x, x2) if x2 is not None else (x,))
+        # timed()'s chain harness rescales args[0] and sums the output
+        # every link — ~1 ms of pure-HBM contamination at these shapes.
+        # Its docstring says to subtract the identity baseline; do so.
+        base = timed(lambda xx, *a: xx, (x, x2) if x2 is not None else (x,))
+        secs = raw - base
+        if secs <= 0.05 * raw:  # baseline swamps the op (tiny smoke shapes)
+            secs = None
         # final_conv pads Cout 3 -> 64 internally; account at 64
         cout_exec = 64 if cout < 64 else cout
         real = 2.0 * 9 * B * h * h * (c + c2) * cout
         padded = B * executed_padded_flops(h, c, cout_exec, c2)
         row = {
             "block": name,
-            "measured_ms": round(secs * 1e3, 2),
+            "measured_ms": round(secs * 1e3, 2) if secs else None,
+            "raw_ms": round(raw * 1e3, 2),
+            "harness_baseline_ms": round(base * 1e3, 2),
             "real_tflop": round(real / 1e12, 3),
             "executed_padded_tflop": round(padded / 1e12, 3),
             "unpadded_bound_ms": round(real / peak_tf / 1e9, 2),
             "padded_bound_ms": round(padded / peak_tf / 1e9, 2),
             "pct_of_padded_bound": round(
-                100.0 * (padded / peak_tf / 1e12) / secs, 1),
+                100.0 * (padded / peak_tf / 1e12) / secs, 1) if secs
+            else None,
             "pct_of_unpadded_bound": round(
-                100.0 * (real / peak_tf / 1e12) / secs, 1),
+                100.0 * (real / peak_tf / 1e12) / secs, 1) if secs
+            else None,
         }
         print(json.dumps(row), flush=True)
 
