@@ -229,6 +229,28 @@ def save_best_checkpoint(pipeline, ckpt_dir, epoch, step, metric_value):
     return name
 
 
+def prune_periodic_checkpoints(ckpt_dir, keep):
+    """Retention for the periodic ``I{it}_E{ep}`` saves: keep the
+    newest ``keep`` (by iteration), never touching ``best_*`` /
+    ``best.json``. The reference keeps every save (model/model.py:
+    125-145) — at ~1.4 GB per optimizer-bearing checkpoint a 14k-step
+    run leaks ~40 GB of disk for snapshots resume will never use.
+    ``keep <= 0`` disables pruning (reference behavior)."""
+    if keep is None or keep <= 0:
+        return
+    import re
+    import shutil
+
+    pat = re.compile(r"^I(\d+)_E\d+$")
+    found = []
+    for name in os.listdir(ckpt_dir):
+        m = pat.match(name)
+        if m and os.path.isdir(os.path.join(ckpt_dir, name)):
+            found.append((int(m.group(1)), name))
+    for _, name in sorted(found)[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
 def train(opt, seed=0, max_steps=None):
     """The sr_gae train loop (sr_gae.py:210-424)."""
     setup_logger("base", opt["path"]["log"], "train", screen=True)
@@ -393,6 +415,10 @@ def train(opt, seed=0, max_steps=None):
             if current_step % save_freq == 0:
                 pipeline.ddpm.save_checkpoint(
                     ckpt_dir, current_epoch, current_step
+                )
+                prune_periodic_checkpoints(
+                    ckpt_dir,
+                    int(opt["train"].get("keep_checkpoints") or 3),
                 )
     return pipeline, results
 

@@ -182,3 +182,25 @@ def test_best_checkpoint_rolls(tmp_path):
     assert best["name"] == "best_I1500_E2" and best["value"] == 23.5
     assert not os.path.exists(os.path.join(d, "best_I500_E1"))
     assert os.path.isdir(os.path.join(d, "best_I1500_E2"))
+
+
+def test_prune_periodic_checkpoints(tmp_path):
+    """Retention keeps the newest N periodic saves (numeric iteration
+    order, not lexicographic) and never touches best_* / best.json."""
+    from hsi_dmgasr_tpu.train.stage2_driver import (
+        prune_periodic_checkpoints)
+
+    names = ["I500_E32", "I1000_E63", "I9500_E594", "I10000_E625",
+             "best_I9500_E594"]
+    for n in names:
+        (tmp_path / n).mkdir()
+    (tmp_path / "best.json").write_text("{}")
+
+    prune_periodic_checkpoints(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["I10000_E625", "I9500_E594", "best.json",
+                    "best_I9500_E594"]
+
+    # keep<=0 disables (reference behavior: keep everything)
+    prune_periodic_checkpoints(str(tmp_path), keep=0)
+    assert sorted(p.name for p in tmp_path.iterdir()) == left
