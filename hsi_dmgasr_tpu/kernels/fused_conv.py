@@ -396,6 +396,60 @@ def gn_swish_conv3x3(x, gn_scale, gn_bias, kernel, bias, time_bias=None,
     )
 
 
+def gn_swish_conv3x3_thin(x, gn_scale, gn_bias, kernel, bias,
+                          stats_in=None, num_groups=32, eps=1e-5,
+                          axis_name=None, halo=None):
+    """XLA lowering of the Block for THIN outputs (Cout << 64).
+
+    The Pallas kernel must pad Cout to the 64-lane dx-pack unit, so the
+    UNet's final_conv (64 -> out_channel=3, reference
+    model/sr3_modules/unet.py:259-263) executes 43x its real MACs.
+    XLA lowers Cout=3 convs without output-tile padding and is purely
+    HBM-bound here; with the chained ``stats_in`` moments (so GroupNorm
+    costs no extra read pass) this measures 2.94 ms vs the fused
+    kernel's 4.50 ms at the flagship 512^2 64->3 shape
+    (tools/probe_final_block.py, v5e). Used by models.unet.Block when
+    the output under-fills half an MXU N-tile and chained stats exist.
+
+    Under spatial sharding (``axis_name``) the conv pads the local
+    H-slab with the neighbors' boundary rows (``halo`` from
+    parallel.spatial.exchange_halo), activated with the same global
+    scale/shift and zeroed at the true image edges — identical math to
+    the fused kernel's halo blocks.
+    """
+    B, H, Wd, C = x.shape
+    hw_g = H * Wd * (jax.lax.psum(1, axis_name) if axis_name else 1)
+    s, s2 = _reduce_row_stats(
+        stats_in if stats_in is not None else _row_moments(x), axis_name)
+    scale, shift = _scale_shift(gn_scale, gn_bias, s / hw_g, s2 / hw_g,
+                                num_groups, eps)
+
+    def act(a):
+        af = (a.astype(jnp.float32) * scale[:, None, None, :]
+              + shift[:, None, None, :])
+        return (af * jax.nn.sigmoid(af)).astype(x.dtype)
+
+    if axis_name is None:
+        a = act(x)
+        pad_h = (1, 1)
+    else:
+        from ..parallel.spatial import edge_mask, exchange_halo
+
+        prev_row, next_row = halo if halo is not None else exchange_halo(
+            x, axis_name)
+        # activate halo rows with the SAME global moments, then zero at
+        # the true edges: SAME padding is zeros in ACTIVATED space
+        prev_row, next_row = edge_mask(act(prev_row), act(next_row),
+                                       axis_name)
+        a = jnp.concatenate([prev_row, act(x), next_row], axis=1)
+        pad_h = (0, 0)
+    out = jax.lax.conv_general_dilated(
+        a, kernel.astype(x.dtype), (1, 1), (pad_h, (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (out + bias).astype(x.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_groups", "eps", "interpret", "rows",

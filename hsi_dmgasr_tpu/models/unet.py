@@ -154,6 +154,21 @@ class Block(nn.Module):
                 halo = exchange_halo(x, self.spatial_axis)
                 if x2 is not None:
                     halo2 = exchange_halo(x2, self.spatial_axis)
+            if (self.dim_out * 2 <= 64 and stats_in is not None
+                    and x2 is None and residual is None
+                    and time_bias is None and res_kernel is None
+                    and not emit_stats):
+                # thin-output blocks (final_conv 64->3): the Pallas
+                # kernel pads Cout to 64 and wastes 43x the MACs; the
+                # XLA lowering with chained stats is 1.5x faster
+                # (tools/probe_final_block.py)
+                from ..kernels.fused_conv import gn_swish_conv3x3_thin
+
+                return gn_swish_conv3x3_thin(
+                    x, gn_scale, gn_bias, kernel, cbias,
+                    stats_in=stats_in, num_groups=self.norm_groups,
+                    axis_name=self.spatial_axis, halo=halo,
+                )
             interpret = jax.devices()[0].platform == "cpu"
             result = gn_swish_conv3x3(
                 x, gn_scale, gn_bias, kernel, cbias,

@@ -393,3 +393,66 @@ def test_pick_rows_vmem_calibration():
     for h in (64, 192, 512):
         r = _pick_rows(h, 256, 128, 128, inc=True, fixed_bytes=fx)
         assert h % r == 0
+
+
+def test_thin_output_lowering_matches_unfused():
+    """gn_swish_conv3x3_thin (the XLA final_conv lowering, Cout=3)
+    matches the unfused Block, with and without chained stats_in."""
+    from hsi_dmgasr_tpu.kernels.fused_conv import (
+        _row_moments,
+        gn_swish_conv3x3_thin,
+    )
+
+    rng = np.random.RandomState(7)
+    b, h, w, c, cout = 2, 16, 12, 16, 3
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+
+    want = _unfused(x, gn_scale, gn_bias, kernel, bias, num_groups=8)
+    got = gn_swish_conv3x3_thin(x, gn_scale, gn_bias, kernel, bias,
+                                num_groups=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    stats = jnp.asarray(_row_moments(jnp.asarray(x)))
+    got2 = gn_swish_conv3x3_thin(x, gn_scale, gn_bias, kernel, bias,
+                                 stats_in=stats, num_groups=8)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_thin_output_lowering_spatial_matches_single():
+    """The thin lowering under H-sharding (halo rows + global stats)
+    equals its single-device output."""
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from hsi_dmgasr_tpu.kernels.fused_conv import gn_swish_conv3x3_thin
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+
+    rng = np.random.RandomState(9)
+    b, h, w, c, cout = 2, 16, 12, 16, 3
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gn_scale = rng.rand(c).astype(np.float32) + 0.5
+    gn_bias = rng.randn(c).astype(np.float32) * 0.1
+    kernel = rng.randn(3, 3, c, cout).astype(np.float32) / np.sqrt(9 * c)
+    bias = rng.randn(cout).astype(np.float32) * 0.1
+
+    want = gn_swish_conv3x3_thin(x, gn_scale, gn_bias, kernel, bias,
+                                 num_groups=8)
+    fn = jax.jit(shard_map(
+        functools.partial(gn_swish_conv3x3_thin, num_groups=8,
+                          axis_name="space"),
+        mesh=mesh,
+        in_specs=(P(None, "space"), P(), P(), P(), P()),
+        out_specs=P(None, "space"), check_rep=False))
+    got = fn(x, gn_scale, gn_bias, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
