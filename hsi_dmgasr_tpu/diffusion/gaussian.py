@@ -38,6 +38,26 @@ class GaussianDiffusion:
     conditional: bool = True
     loss_type: str = "l1"
     clip_denoised: bool = True
+    # Beyond-reference: per-sample loss weighting. None reproduces the
+    # reference's unweighted mean exactly; ("min_snr", cap) applies
+    # min-SNR-γ weighting for the ε-objective (Hang et al. 2023,
+    # arXiv:2303.09556): w = min(SNR, cap)/SNR with SNR = γ²/(1-γ²).
+    # Motivation here: the round-3 chain-entry diagnosis (BENCHMARKS.md)
+    # showed the model under-trains the low-γ (high-noise) steps that a
+    # from-pure-noise sampler depends on; min-SNR rebalances the easy
+    # high-γ samples that otherwise dominate the unweighted mean.
+    loss_weight: tuple | None = None
+
+    def _loss_w(self, gamma):
+        """Per-sample weight from √ᾱ (``gamma``); shape-preserving."""
+        if self.loss_weight is None:
+            return jnp.ones_like(gamma)
+        kind, cap = self.loss_weight
+        if kind == "min_snr":
+            g2 = jnp.clip(gamma.astype(jnp.float32) ** 2, 1e-12, 1 - 1e-12)
+            snr = g2 / (1.0 - g2)
+            return jnp.minimum(1.0, jnp.float32(cap) / snr)
+        raise NotImplementedError(self.loss_weight)
 
     # ---------------------------------------------------------------- q
 
@@ -74,10 +94,12 @@ class GaussianDiffusion:
         eps_pred = denoise_fn(inp, gamma[:, None])
         err = noise - eps_pred
         if self.loss_type == "l1":
-            return jnp.mean(jnp.abs(err))
-        if self.loss_type == "l2":
-            return jnp.mean(err ** 2)
-        raise NotImplementedError(self.loss_type)
+            per = jnp.mean(jnp.abs(err), axis=(1, 2, 3))
+        elif self.loss_type == "l2":
+            per = jnp.mean(err ** 2, axis=(1, 2, 3))
+        else:
+            raise NotImplementedError(self.loss_type)
+        return jnp.mean(self._loss_w(gamma) * per)
 
     # ------------------------------------------------------------ sample
 
@@ -283,10 +305,12 @@ class DDPMDiffusion(GaussianDiffusion):
         eps_pred = denoise_fn(inp, t)
         err = noise - eps_pred
         if self.loss_type == "l1":
-            return jnp.mean(jnp.abs(err))
-        if self.loss_type == "l2":
-            return jnp.mean(err ** 2)
-        raise NotImplementedError(self.loss_type)
+            per = jnp.mean(jnp.abs(err), axis=(1, 2, 3))
+        elif self.loss_type == "l2":
+            per = jnp.mean(err ** 2, axis=(1, 2, 3))
+        else:
+            raise NotImplementedError(self.loss_type)
+        return jnp.mean(self._loss_w(sac[t]) * per)
 
     def _step(self, denoise_fn, x, t, key, cond, noise=None):
         sched = self.schedule

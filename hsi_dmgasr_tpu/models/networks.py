@@ -134,8 +134,17 @@ def diffusion_for_phase(opt, phase):
     which = model_opt.get("which_model_G", "sr3")
     sched = DiffusionSchedule.from_config(model_opt["beta_schedule"][phase])
     cls = DDPMDiffusion if which == "ddpm" else GaussianDiffusion
+    lw = model_opt["diffusion"].get("loss_weight")
+    if lw is not None:
+        # {"type": "min_snr", "gamma": 5.0} -> hashable dataclass field.
+        # Beyond-reference knob (see GaussianDiffusion.loss_weight).
+        kind = lw.get("type")
+        if kind != "min_snr":
+            raise ValueError(f"unknown model.diffusion.loss_weight type {kind!r}")
+        lw = (kind, float(lw.get("gamma", 5.0)))
     return cls(
         schedule=sched,
         conditional=model_opt["diffusion"].get("conditional", True),
         loss_type=model_opt.get("loss_type") or "l1",
+        loss_weight=lw,
     )
