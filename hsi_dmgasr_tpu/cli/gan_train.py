@@ -70,6 +70,7 @@ def main(argv=None):
             os.path.abspath(args.out),
             {"g_params": jax.device_get(trainer.g_state.params),
              "d_params": jax.device_get(trainer.d_state.params)},
+            force=True,  # re-saving a given path overwrites (resume reruns)
         )
     logger.info("saved %s", args.out)
 

@@ -122,6 +122,7 @@ class BaselineTrainer:
             ckptr.save(
                 os.path.abspath(path),
                 {"params": jax.device_get(self.state.params)},
+                force=True,  # re-saving a given path overwrites (resume reruns)
             )
 
     def load(self, path):

@@ -368,7 +368,12 @@ class DDPMModel:
             os.path.join(ckpt_dir, name or f"I{iter_step}_E{epoch}")
         )
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, jax.device_get(self.state))
+            # force: a supervised restart resumes from the last PERIODIC
+            # save and re-crosses val iters it already best-snapshotted;
+            # without overwrite the rerun dies on "Destination ...
+            # already exists" and loops crash->resume forever (observed
+            # on PavT200_r4 at best_I2500).
+            ckptr.save(path, jax.device_get(self.state), force=True)
         return path
 
     def load_checkpoint(self, path):

@@ -146,6 +146,7 @@ class GAETrainer:
                 os.path.abspath(path),
                 {"params": jax.device_get(self.state.params),
                  "config": {k: np.asarray(v) for k, v in self.config.items()}},
+                force=True,  # re-saving a given path overwrites (resume reruns)
             )
 
     @classmethod

@@ -310,6 +310,30 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(ddpm2.state.step) == 1
 
 
+def test_checkpoint_resave_overwrites(tmp_path):
+    """A supervised restart resumes from the last periodic save and
+    re-crosses val iters already best-snapshotted; re-saving the same
+    name must overwrite, not crash (observed crash loop on PavT200_r4:
+    orbax 'Destination ... best_I2500_E157 already exists')."""
+    ddpm = DDPMModel(TINY_OPT, seed=0)
+    batch = {
+        "HR": np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32),
+        "SR": np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32),
+    }
+    path = ddpm.save_checkpoint(str(tmp_path), epoch=1, iter_step=5,
+                                name="best_I5_E1")
+    ddpm.train_step(batch, key=jax.random.PRNGKey(0))
+    path2 = ddpm.save_checkpoint(str(tmp_path), epoch=1, iter_step=5,
+                                 name="best_I5_E1")
+    assert path == path2
+    ddpm2 = DDPMModel(TINY_OPT, seed=1)
+    ddpm2.load_checkpoint(path2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ddpm2.state.params)[0]),
+        np.asarray(jax.tree.leaves(ddpm.state.params)[0]),
+    )
+
+
 def test_train_step_half_precision_transfer(tiny_pipeline):
     """float16 host->device transfer (stage2_driver transfer_dtype) is
     widened on device and trains like the f32 path."""
