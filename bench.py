@@ -309,7 +309,31 @@ def main():
             "value": out2["value"],
             "vs_baseline": out2["vs_baseline"],
         }
+    contender = _live_training_child()
+    if contender and not args.cpu:
+        # a supervised training run shares the single TPU chip; label the
+        # number rather than silently publishing a contended timing
+        out["contended_by_pid"] = contender
+        print(f"[bench] WARNING: training child pid {contender} is live — "
+              "timings are contended; stop it for a clean number",
+              file=sys.stderr)
     print(json.dumps(out))
+
+
+def _live_training_child():
+    """PID of a live supervised training child, if any (experiments/*/
+    train_child.pid written by cli/sr_gae.py's supervisor)."""
+    import glob
+
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "experiments", "*", "train_child.pid")):
+        try:
+            pid = int(open(p).read().strip())
+            os.kill(pid, 0)
+            return pid
+        except (ValueError, OSError):
+            continue
+    return None
 
 
 if __name__ == "__main__":
