@@ -288,6 +288,13 @@ def main():
                     help="latent images per sampler chunk (0 = whole "
                          "B*G batch in one scan); bounds sampler "
                          "temporaries so large batches fit HBM")
+    ap.add_argument("--yield_tpu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="if a supervised training child (experiments/*/"
+                         "train_child.pid) holds the chip, stop its "
+                         "supervisor+child before timing (it resumes from "
+                         "its last checkpoint later); --no-yield_tpu "
+                         "times anyway and labels the JSON 'contended'")
     args = ap.parse_args()
 
     import copy
@@ -297,7 +304,21 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    preempted = False
+    if not args.cpu:
+        contender = _live_training_child()
+        if contender and args.yield_tpu:
+            preempted = _preempt_training(contender)
+            contender = _live_training_child()
+        if contender:
+            print(f"[bench] WARNING: training child pid {contender} is "
+                  "live — timings are contended", file=sys.stderr)
+
     out, info = measure(args)
+    if preempted:
+        out["preempted_training"] = True
+    elif not args.cpu and _live_training_child():
+        out["contended_by_pid"] = _live_training_child()
     if args.t_start and args.full_row:
         # secondary row: the reference's own full-T ancestral chain
         args2 = copy.copy(args)
@@ -309,14 +330,6 @@ def main():
             "value": out2["value"],
             "vs_baseline": out2["vs_baseline"],
         }
-    contender = _live_training_child()
-    if contender and not args.cpu:
-        # a supervised training run shares the single TPU chip; label the
-        # number rather than silently publishing a contended timing
-        out["contended_by_pid"] = contender
-        print(f"[bench] WARNING: training child pid {contender} is live — "
-              "timings are contended; stop it for a clean number",
-              file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -334,6 +347,48 @@ def _live_training_child():
         except (ValueError, OSError):
             continue
     return None
+
+
+def _preempt_training(child_pid, wait_s=30.0):
+    """Stop a supervised training run for a clean bench: SIGTERM the
+    supervisor FIRST (else it relaunches the child), then the child.
+    Targets only the exact PIDs from the pid file and its verified
+    parent — never name patterns. The run resumes from its newest
+    checkpoint on the next supervised launch (docs/runs/README.md)."""
+    import signal
+
+    def _alive(pid):
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            return False
+
+    try:
+        with open(f"/proc/{child_pid}/stat") as f:
+            ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        with open(f"/proc/{ppid}/cmdline", "rb") as f:
+            parent_cmd = f.read().decode(errors="replace")
+    except OSError:
+        ppid, parent_cmd = 0, ""
+    victims = []
+    if ppid > 1 and "--supervise" in parent_cmd:
+        victims.append(ppid)
+    victims.append(child_pid)
+    for pid in victims:
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.time() + wait_s
+    while time.time() < deadline and any(_alive(p) for p in victims):
+        time.sleep(0.5)
+    stopped = not any(_alive(p) for p in victims)
+    print(f"[bench] preempted training (supervisor {ppid or '?'}, child "
+          f"{child_pid}) for a clean timing: "
+          f"{'stopped' if stopped else 'STILL ALIVE after timeout'}",
+          file=sys.stderr)
+    return stopped
 
 
 if __name__ == "__main__":
