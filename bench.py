@@ -360,7 +360,11 @@ def _preempt_training(child_pid, wait_s=30.0):
     def _alive(pid):
         try:
             os.kill(pid, 0)
-            return True
+        except OSError:
+            return False
+        try:  # a zombie is dead for our purposes (parent not yet reaped)
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[1].split()[0] != "Z"
         except OSError:
             return False
 
