@@ -23,12 +23,16 @@ from .common import base_parser, force_platform, parse_opt
 
 
 def _latest_checkpoint(ckpt_dir):
-    """Newest I{iter}_E{epoch} orbax dir under ckpt_dir, or None."""
+    """Newest I{iter}_E{epoch} or best_I{iter}_E{epoch} orbax dir under
+    ckpt_dir, or None. Best-val snapshots hold the full train state and
+    are often newer than the last periodic save (val_freq <
+    save_checkpoint_freq), so resuming from them loses less work after
+    a crash (observed: PavT200_r4 redid 2000→2500 on every restart)."""
     best, best_iter = None, -1
     if not os.path.isdir(ckpt_dir):
         return None
     for name in os.listdir(ckpt_dir):
-        m = re.fullmatch(r"I(\d+)_E(\d+)", name)
+        m = re.fullmatch(r"(?:best_)?I(\d+)_E(\d+)", name)
         if m and int(m.group(1)) > best_iter:
             best_iter = int(m.group(1))
             best = os.path.join(ckpt_dir, name)
