@@ -423,10 +423,65 @@ class DDPMModel:
         self.begin_step = 0
         self.begin_epoch = 0
 
+    def export_params_npz(self, path, dtype=np.float16):
+        """Compact snapshot of the EVAL weights only (EMA when
+        configured, plus batch_stats for the BatchNorm ddpm variant):
+        flattened param tree -> one compressed ``.npz``, float16 by
+        default. An optimizer-bearing orbax dir is ~1.4 GB and lives in
+        gitignored/ephemeral ``experiments/``; this is the
+        git-committable durability layer (every round-3/4 trained
+        checkpoint was lost to a container restart). Nearest reference
+        analog: the ``_gen.pth`` state_dict half of its checkpoint pair
+        (model/model.py:125-135)."""
+        from flax import traverse_util
+
+        tree = {"params": jax.device_get(self.eval_params())}
+        if self.state.batch_stats is not None:
+            tree["batch_stats"] = jax.device_get(self.state.batch_stats)
+        arrays = {}
+        for k, v in traverse_util.flatten_dict(tree, sep="/").items():
+            v = np.asarray(v)
+            arrays[k] = v.astype(dtype) if np.issubdtype(
+                v.dtype, np.floating) else v
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(path, **arrays)
+        return path
+
+    def load_params_npz(self, path):
+        """Load an ``export_params_npz`` snapshot into BOTH params and
+        ema_params (it holds the eval weights; eval must see them
+        regardless of use_ema_for_eval). Leaves are cast back to the
+        live dtype; tree structure must match the built model."""
+        from flax import traverse_util
+
+        with np.load(path) as z:
+            flat = {tuple(k.split("/")): z[k] for k in z.files}
+        tree = traverse_util.unflatten_dict(flat)
+        cur = jax.device_get(self.state.params)
+        new = jax.tree.map(
+            lambda c, n: np.asarray(n, dtype=c.dtype).reshape(c.shape),
+            cur, tree["params"],
+        )
+        updates = {"params": replicate(self.mesh, new)}
+        if self.state.ema_params is not None:
+            updates["ema_params"] = replicate(
+                self.mesh, jax.tree.map(np.copy, new)
+            )
+        if "batch_stats" in tree and self.state.batch_stats is not None:
+            bs = jax.tree.map(
+                lambda c, n: np.asarray(n, dtype=c.dtype).reshape(c.shape),
+                jax.device_get(self.state.batch_stats), tree["batch_stats"],
+            )
+            updates["batch_stats"] = replicate(self.mesh, bs)
+        self.state = self.state.replace(**updates)
+
     def load_resume(self, resume):
-        """Dispatch resume path: orbax dir or torch prefix."""
+        """Dispatch resume path: orbax dir, params-npz export, or torch
+        prefix."""
         if os.path.isdir(resume):
             self.load_checkpoint(resume)
+        elif resume.endswith(".npz") and os.path.exists(resume):
+            self.load_params_npz(resume)
         elif os.path.exists(f"{resume}_gen.pth"):
             self.load_torch_resume(resume)
         else:

@@ -207,12 +207,18 @@ def _read_best(ckpt_dir):
         return json.load(f)
 
 
-def save_best_checkpoint(pipeline, ckpt_dir, epoch, step, metric_value):
+def save_best_checkpoint(pipeline, ckpt_dir, epoch, step, metric_value,
+                         export_dir=None):
     """Keep a rolling best-val snapshot ``best_I{it}_E{ep}`` next to the
     periodic checkpoints, tracked by ``best.json``. The reference has no
     best-model selection at all (sr_gae.py saves only on a fixed
     frequency, sr_gae.py:413-415) — round-2's 18k-step run ended on a
     model 3.3 dB worse than its 11.5k-step peak because of exactly this.
+
+    ``export_dir`` (config ``train.export_best``) additionally writes a
+    compact ``best_params.npz`` (+ ``best.json`` copy) there — the
+    durability layer for ephemeral experiment dirs; point it inside the
+    git tree and commit (loadable via ``path.resume_state``).
     """
     import json
     import shutil
@@ -220,12 +226,19 @@ def save_best_checkpoint(pipeline, ckpt_dir, epoch, step, metric_value):
     prev = _read_best(ckpt_dir)
     name = f"best_I{step}_E{epoch}"
     pipeline.ddpm.save_checkpoint(ckpt_dir, epoch, step, name=name)
+    meta = {"name": name, "iter": step, "epoch": epoch,
+            "metric": "MPSNR_cc", "value": metric_value}
     with open(os.path.join(ckpt_dir, "best.json"), "w") as f:
-        json.dump({"name": name, "iter": step, "epoch": epoch,
-                   "metric": "MPSNR_cc", "value": metric_value}, f)
+        json.dump(meta, f)
     if prev and prev.get("name") and prev["name"] != name:
         shutil.rmtree(os.path.join(ckpt_dir, prev["name"]),
                       ignore_errors=True)
+    if export_dir:
+        pipeline.ddpm.export_params_npz(
+            os.path.join(export_dir, "best_params.npz")
+        )
+        with open(os.path.join(export_dir, "best.json"), "w") as f:
+            json.dump(meta, f)
     return name
 
 
@@ -408,6 +421,7 @@ def train(opt, seed=0, max_steps=None):
                     name = save_best_checkpoint(
                         pipeline, ckpt_dir, current_epoch, current_step,
                         val_psnr,
+                        export_dir=opt["train"].get("export_best"),
                     )
                     val_logger.info(
                         "new best MPSNR_cc %.3f -> saved %s", val_psnr, name

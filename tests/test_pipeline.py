@@ -334,6 +334,67 @@ def test_checkpoint_resave_overwrites(tmp_path):
     )
 
 
+def test_params_npz_export_roundtrip(tmp_path):
+    """The git-committable durability layer: export eval weights (EMA)
+    to one f16 npz, load into a fresh model via the load_resume
+    dispatch, and get the same eval weights back to f16 precision.
+    (Every optimizer-bearing round-3/4 checkpoint died with a container
+    restart — experiments/ is ephemeral; these exports are not.)"""
+    opt = dict(TINY_OPT)
+    opt["train"] = {
+        "optimizer": {"type": "adam", "lr": 1e-3},
+        "ema_scheduler": {"step_start_ema": 0, "update_ema_every": 1,
+                          "ema_decay": 0.9, "use_ema_for_eval": True},
+    }
+    ddpm = DDPMModel(opt, seed=0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "HR": rng.rand(2, 16, 16, 3).astype(np.float32),
+        "SR": rng.rand(2, 16, 16, 3).astype(np.float32),
+    }
+    for i in range(3):  # let EMA diverge from raw params
+        ddpm.train_step(batch, key=jax.random.PRNGKey(i))
+    path = ddpm.export_params_npz(str(tmp_path / "art" / "best_params.npz"))
+
+    ddpm2 = DDPMModel(opt, seed=1)
+    ddpm2.load_resume(path)
+    ref = jax.tree.leaves(jax.device_get(ddpm.eval_params()))
+    got = jax.tree.leaves(jax.device_get(ddpm2.eval_params()))
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)
+    # raw params were seeded too, so a later EMA update starts from the
+    # export rather than the fresh init
+    p0 = jax.tree.leaves(jax.device_get(ddpm2.state.params))[0]
+    np.testing.assert_allclose(
+        np.asarray(p0),
+        np.asarray(jax.tree.leaves(jax.device_get(ddpm.eval_params()))[0]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_save_best_checkpoint_exports(tmp_path, tiny_pipeline):
+    """train.export_best writes best_params.npz + best.json beside the
+    orbax best snapshot."""
+    import json
+    import os
+
+    from hsi_dmgasr_tpu.train.stage2_driver import save_best_checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    export = tmp_path / "export"
+    ckpt.mkdir()
+    name = save_best_checkpoint(
+        tiny_pipeline, str(ckpt), epoch=2, step=10, metric_value=21.5,
+        export_dir=str(export),
+    )
+    assert name == "best_I10_E2"
+    assert os.path.exists(export / "best_params.npz")
+    meta = json.load(open(export / "best.json"))
+    assert meta["iter"] == 10 and meta["value"] == 21.5
+
+
 def test_train_step_half_precision_transfer(tiny_pipeline):
     """float16 host->device transfer (stage2_driver transfer_dtype) is
     widened on device and trains like the f32 path."""
