@@ -435,7 +435,7 @@ class DDPMModel:
         (model/model.py:125-135)."""
         from flax import traverse_util
 
-        tree = {"params": jax.device_get(self.eval_params())}
+        tree = {"params": jax.device_get(self.eval_params)}
         if self.state.batch_stats is not None:
             tree["batch_stats"] = jax.device_get(self.state.batch_stats)
         arrays = {}
