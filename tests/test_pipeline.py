@@ -358,8 +358,8 @@ def test_params_npz_export_roundtrip(tmp_path):
 
     ddpm2 = DDPMModel(opt, seed=1)
     ddpm2.load_resume(path)
-    ref = jax.tree.leaves(jax.device_get(ddpm.eval_params()))
-    got = jax.tree.leaves(jax.device_get(ddpm2.eval_params()))
+    ref = jax.tree.leaves(jax.device_get(ddpm.eval_params))
+    got = jax.tree.leaves(jax.device_get(ddpm2.eval_params))
     assert len(ref) == len(got)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
@@ -369,7 +369,7 @@ def test_params_npz_export_roundtrip(tmp_path):
     p0 = jax.tree.leaves(jax.device_get(ddpm2.state.params))[0]
     np.testing.assert_allclose(
         np.asarray(p0),
-        np.asarray(jax.tree.leaves(jax.device_get(ddpm.eval_params()))[0]),
+        np.asarray(jax.tree.leaves(jax.device_get(ddpm.eval_params))[0]),
         rtol=2e-3, atol=2e-3,
     )
 

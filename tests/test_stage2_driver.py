@@ -150,8 +150,16 @@ def test_latest_checkpoint_picker(tmp_path):
     for name in ["I100_E3", "I900_E7", "I2500_E11", "junk", "I33",
                  "best_I9000_E5"]:
         os.makedirs(tmp_path / name)
-    # best_* snapshots must NOT win the resume pick (the newest periodic
-    # checkpoint is always >= the best one in wall-clock progress)
+    # The pick is by iteration number, best_* and periodic alike:
+    # best snapshots are written by the same ddpm.save_checkpoint and
+    # hold the FULL train state (params, opt_state, step counter, EMA),
+    # so resuming from whichever has the highest iteration is safe and
+    # loses the least work (val_freq < save_checkpoint_freq means the
+    # newest best_* is often ahead of the newest periodic; observed:
+    # PavT200_r4 redid 2000->2500 on every restart before this).
+    assert _latest_checkpoint(str(tmp_path)).endswith("best_I9000_E5")
+    # with no best_* ahead, the newest periodic still wins
+    os.rmdir(tmp_path / "best_I9000_E5")
     assert _latest_checkpoint(str(tmp_path)).endswith("I2500_E11")
 
 
