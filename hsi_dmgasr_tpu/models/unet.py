@@ -154,14 +154,21 @@ class Block(nn.Module):
                 halo = exchange_halo(x, self.spatial_axis)
                 if x2 is not None:
                     halo2 = exchange_halo(x2, self.spatial_axis)
+            import os as _os
             if (self.dim_out * 2 <= 64 and stats_in is not None
                     and x2 is None and residual is None
                     and time_bias is None and res_kernel is None
-                    and not emit_stats):
+                    and not emit_stats
+                    and _os.environ.get("HSI_THIN_FINAL")):
                 # thin-output blocks (final_conv 64->3): the Pallas
-                # kernel pads Cout to 64 and wastes 43x the MACs; the
-                # XLA lowering with chained stats is 1.5x faster
-                # (tools/probe_final_block.py)
+                # kernel pads Cout to 64 and wastes 43x the MACs, and
+                # the ISOLATED probe showed the XLA lowering 1.5x
+                # faster (tools/probe_final_block.py). But composed
+                # into the full sampler graph it REGRESSED the 512^2
+                # T=20 chain 2.627->2.755 s (measured round 5 — the
+                # lowering breaks XLA's fusion around the step
+                # boundary), so it is opt-in via HSI_THIN_FINAL=1.
+                # Composed measurement beats isolated probes.
                 from ..kernels.fused_conv import gn_swish_conv3x3_thin
 
                 return gn_swish_conv3x3_thin(

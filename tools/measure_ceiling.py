@@ -47,10 +47,18 @@ def measure(ckpt, scene_paths, crop=128, platform=None):
     import jax.numpy as jnp
 
     from hsi_dmgasr_tpu.evalhsi import color_correction, quality_assessment
-    from hsi_dmgasr_tpu.io.convert_torch import load_torch_gae
     from hsi_dmgasr_tpu.models.gae import GAE
 
-    variables, cfg = load_torch_gae(ckpt)
+    if ckpt.endswith(".pth"):
+        from hsi_dmgasr_tpu.io.convert_torch import load_torch_gae
+
+        variables, cfg = load_torch_gae(ckpt)
+    else:
+        # own-trained orbax checkpoint (GAETrainer.save) — same dispatch
+        # as the stage-2 driver's load_gae (train/stage2_driver.py:42-54)
+        from hsi_dmgasr_tpu.train.stage1_gae import GAETrainer
+
+        variables, cfg = GAETrainer.load_gae_variables(ckpt)
     gae = GAE(n_subs=cfg["n_subs"], n_ovls=cfg["n_ovls"],
               n_colors=cfg["n_colors"], n_feats=cfg["n_feats"])
     encode = jax.jit(lambda v, x: gae.apply(v, x, method=GAE.encode))
