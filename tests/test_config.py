@@ -119,7 +119,11 @@ def test_shipped_configs_parse(cfg, tmp_path):
                      "const", "jsd", "cosine")
     gae = opt["gae"]
     if gae:  # stage-2 dataset recipes
-        assert gae["checkpoint"] and gae["checkpoint"].endswith(".pth")
+        # either a converted reference .pth or an own-trained orbax dir
+        # (the self-contained recipe, pavia_selfcontained_r5.json)
+        assert gae["checkpoint"]
+        assert gae["checkpoint"].endswith(".pth") or "gae" in os.path.basename(
+            gae["checkpoint"])
         # latent affine recipes must ship both halves or neither
         assert (gae["latent_shift"] is None) == (gae["latent_scale"] is None)
         ts = opt["model"]["diffusion"]["t_start"]
