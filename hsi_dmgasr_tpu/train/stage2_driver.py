@@ -391,6 +391,20 @@ def train(opt, seed=0, max_steps=None):
                 tb.add_scalar("l_pix", float(loss), current_step)
                 if wandb_logger:
                     wandb_logger.log_metrics({"l_pix": float(loss)})
+            if current_step % save_freq == 0:
+                # periodic save BEFORE the val at the same step: the val
+                # streams minutes of buffer fetches through the tunnel and
+                # is where backend drops cluster (measured: T200 attempts
+                # 0/2/4 all died within ~2 min of their first val, leaving
+                # an empty checkpoint dir) — saved-first, a drop during
+                # val costs the val, not the training progress
+                pipeline.ddpm.save_checkpoint(
+                    ckpt_dir, current_epoch, current_step
+                )
+                prune_periodic_checkpoints(
+                    ckpt_dir,
+                    int(opt["train"].get("keep_checkpoints") or 3),
+                )
             if current_step % val_freq == 0:
                 result_path = os.path.join(
                     opt["path"]["results"], str(current_epoch)
@@ -426,14 +440,6 @@ def train(opt, seed=0, max_steps=None):
                     val_logger.info(
                         "new best MPSNR_cc %.3f -> saved %s", val_psnr, name
                     )
-            if current_step % save_freq == 0:
-                pipeline.ddpm.save_checkpoint(
-                    ckpt_dir, current_epoch, current_step
-                )
-                prune_periodic_checkpoints(
-                    ckpt_dir,
-                    int(opt["train"].get("keep_checkpoints") or 3),
-                )
     return pipeline, results
 
 
